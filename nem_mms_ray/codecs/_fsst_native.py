@@ -1,0 +1,158 @@
+"""Build + ctypes binding for the FSST C kernels, with pure-Python fallback.
+
+The shared library is compiled once per source hash into /tmp (scratch) and
+cached; if no C compiler is available the pure-Python reference loops are
+used (identical output, much slower).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+ESCAPE = 255
+_SRC = Path(__file__).with_name("fsst_kernel.c")
+_BUILD_DIR = Path(os.environ.get("NEM_MMS_RAY_BUILD", "/tmp/nem_mms_ray_build"))
+
+_lib = None
+_tried = False
+
+
+def _compile() -> ctypes.CDLL | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so = _BUILD_DIR / f"fsst_{tag}.so"
+    if not so.exists():
+        _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+        with tempfile.NamedTemporaryFile(suffix=".so", dir=_BUILD_DIR, delete=False) as tf:
+            tmp = tf.name
+        cmd = ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, str(_SRC)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return None
+    lib = ctypes.CDLL(str(so))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    for fn in (lib.fsst_encode, lib.fsst_decode):
+        fn.restype = ctypes.c_long
+        fn.argtypes = [u8p, u8p, ctypes.c_int, u8p, ctypes.c_long, u8p]
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        _lib = _compile()
+    return _lib
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def encode(sym_bytes: np.ndarray, sym_lens: np.ndarray, data: bytes) -> bytes:
+    """Greedy longest-match FSST encode of `data` with the given table.
+
+    sym_bytes: (n_sym, 8) uint8 (symbols left-justified, zero padded)
+    sym_lens:  (n_sym,) uint8 in 1..8
+    """
+    n = len(data)
+    if n == 0:
+        return b""
+    inp = np.frombuffer(data, np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(2 * n, np.uint8)
+        m = lib.fsst_encode(
+            _u8p(np.ascontiguousarray(sym_bytes)),
+            _u8p(np.ascontiguousarray(sym_lens)),
+            len(sym_lens), _u8p(inp), n, _u8p(out),
+        )
+        return out[:m].tobytes()
+    return _py_encode(sym_bytes, sym_lens, data)
+
+
+def decode(sym_bytes: np.ndarray, sym_lens: np.ndarray, enc: bytes, out_size: int) -> bytes:
+    if len(enc) == 0:
+        return b""
+    inp = np.frombuffer(enc, np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(out_size + 8, np.uint8)
+        m = lib.fsst_decode(
+            _u8p(np.ascontiguousarray(sym_bytes)),
+            _u8p(np.ascontiguousarray(sym_lens)),
+            len(sym_lens), _u8p(inp), len(enc), _u8p(out),
+        )
+        return out[:m].tobytes()
+    return _py_decode(sym_bytes, sym_lens, enc)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementations (correctness oracle for the C path)
+# ---------------------------------------------------------------------------
+
+
+def _py_encode(sym_bytes: np.ndarray, sym_lens: np.ndarray, data: bytes) -> bytes:
+    by_len: dict[int, dict[bytes, int]] = {}
+    byte_code: dict[int, int] = {}
+    max_len = 1
+    for code, (row, ln) in enumerate(zip(sym_bytes, sym_lens)):
+        ln = int(ln)
+        sym = bytes(row[:ln])
+        if ln == 1:
+            byte_code[sym[0]] = code
+        else:
+            by_len.setdefault(ln, {})[sym] = code
+            max_len = max(max_len, ln)
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        matched = False
+        for ln in range(min(max_len, n - i), 1, -1):
+            tbl = by_len.get(ln)
+            if tbl is None:
+                continue
+            c = tbl.get(data[i : i + ln])
+            if c is not None:
+                out.append(c)
+                i += ln
+                matched = True
+                break
+        if not matched:
+            b = data[i]
+            c1 = byte_code.get(b)
+            if c1 is not None:
+                out.append(c1)
+            else:
+                out.append(ESCAPE)
+                out.append(b)
+            i += 1
+    return bytes(out)
+
+
+def _py_decode(sym_bytes: np.ndarray, sym_lens: np.ndarray, enc: bytes) -> bytes:
+    syms = [bytes(row[: int(ln)]) for row, ln in zip(sym_bytes, sym_lens)]
+    out = bytearray()
+    i, n = 0, len(enc)
+    while i < n:
+        c = enc[i]
+        if c == ESCAPE:
+            i += 1
+            out.append(enc[i])
+        else:
+            out += syms[c]
+        i += 1
+    return bytes(out)

@@ -1,0 +1,163 @@
+"""Per-codec round-trip tests over adversarial arrays (FIXTURES.md F2).
+
+The analog of the reference's exact-equality parse tests
+(/root/reference/src/flatfile.rs:644-773) and its render/parse round-trip
+idiom (/root/reference/src/manage/state.rs:155-191): decode(encode(col))
+must equal col exactly, including null positions and empty-vs-null strings.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nem_mms_ray.codecs import REGISTRY, decode_column, get_codec
+from nem_mms_ray.codecs import _fsst_native as native
+from nem_mms_ray.codecs.bitpack import bit_width, pack_bits, unpack_bits
+from nem_mms_ray.codecs.fsst import train_symbols
+
+INT_ARRAYS = [
+    pa.array([], type=pa.int64()),
+    pa.array([None, None], type=pa.int64()),
+    pa.array([7], type=pa.int64()),
+    pa.array([5] * 100, type=pa.int64()),
+    pa.array(range(1000), type=pa.int64()),
+    pa.array([0, -1, 2**62, -(2**62), None], type=pa.int64()),
+    pa.array([2**63 - 1, -(2**63), 0], type=pa.int64()),
+    pa.array([2**64 - 1, 0, 12345], type=pa.uint64()),
+    pa.array([-128, 127, None, 0], type=pa.int8()),
+    pa.array([None, -32768, 32767], type=pa.int16()),
+    pa.array(np.arange(500)[::-1].copy() * 1000003, type=pa.int64()),  # unsorted-ish
+    pa.array((np.arange(300) * 86400_000_000 + 1_600_000_000_000_000), type=pa.timestamp("us")),
+    pa.array([-10**15, 10**15, None], type=pa.timestamp("s")),
+    pa.array([0, 1, 2], type=pa.date32()),
+]
+
+STRING_ARRAYS = [
+    pa.array([], type=pa.string()),
+    pa.array([None, None], type=pa.string()),
+    pa.array([""], type=pa.string()),
+    pa.array(["", None, "x", "", None]),  # empty-vs-null distinction
+    pa.array(["same"] * 200),
+    pa.array([f"distinct-{i}" for i in range(500)]),
+    pa.array(["café", "naïve", "中文", "\U0001F600", ""] * 40),
+    pa.array(["run"] * 50 + ["alt", "run"] * 50 + [None] * 10),
+    pa.array([b"", b"\x00\xff\xfe", None, bytes(range(256)) * 4], type=pa.binary()),
+    pa.array([b"large" * 100, None, b""], type=pa.large_binary()),
+    pa.array(["large_string test", None, ""], type=pa.large_string()),
+]
+
+OTHER_ARRAYS = [
+    pa.array([1.5, None, -0.0, float("inf"), float("-inf")], type=pa.float64()),
+    pa.array([float("nan"), 1.0, None], type=pa.float64()),
+    pa.array([True, False, None, True] * 25),
+    pa.array([1.5, 2.5], type=pa.float32()),
+]
+
+
+def _roundtrip(codec_name, arr):
+    codec = get_codec(codec_name)
+    if not codec.can_encode(arr.type):
+        pytest.skip(f"{codec_name} cannot encode {arr.type}")
+    ec = codec.encode(arr)
+    out = decode_column(ec)
+    assert out.type.equals(arr.type), (codec_name, arr.type, out.type)
+    # NaN-aware equality: arrow equals treats NaN != NaN, compare via pylist
+    if pa.types.is_floating(arr.type):
+        a, b = arr.to_pylist(), out.to_pylist()
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert (x is None) == (y is None)
+            if x is not None:
+                assert (x != x and y != y) or x == y or (repr(x) == repr(y))
+    else:
+        assert out.equals(arr), (codec_name, arr.to_pylist()[:10], out.to_pylist()[:10])
+    # null positions preserved bit-exactly
+    assert out.null_count == arr.null_count
+
+
+@pytest.mark.parametrize("codec", ["plain", "for", "dict", "rle"])
+@pytest.mark.parametrize("i", range(len(INT_ARRAYS)))
+def test_int_roundtrip(codec, i):
+    _roundtrip(codec, INT_ARRAYS[i])
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "fsst"])
+@pytest.mark.parametrize("i", range(len(STRING_ARRAYS)))
+def test_string_roundtrip(codec, i):
+    _roundtrip(codec, STRING_ARRAYS[i])
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle"])
+@pytest.mark.parametrize("i", range(len(OTHER_ARRAYS)))
+def test_other_roundtrip(codec, i):
+    _roundtrip(codec, OTHER_ARRAYS[i])
+
+
+def test_sliced_array_roundtrip():
+    base = pa.array(["pad", "a", "bb", None, "", "ccc", "tail"])
+    sl = base.slice(1, 5)
+    for codec in ("plain", "dict", "rle", "fsst"):
+        ec = get_codec(codec).encode(sl)
+        assert decode_column(ec).equals(pa.concat_arrays([sl]))
+
+
+@pytest.mark.parametrize("width", [0, 1, 7, 8, 9, 31, 32, 33, 63, 64])
+def test_bitpack_widths(width):
+    n = 257
+    rng = np.random.default_rng(width + 1)
+    if width == 0:
+        vals = np.zeros(n, np.uint64)
+    elif width == 64:
+        vals = rng.integers(0, 2**63, n).astype(np.uint64) * 2 + (rng.integers(0, 2, n).astype(np.uint64))
+    else:
+        vals = rng.integers(0, 2**width, n).astype(np.uint64)
+    buf = pack_bits(vals, width)
+    out = unpack_bits(buf, n, width)
+    assert np.array_equal(out, vals)
+    assert len(buf) == (n * width + 7) // 8
+
+
+def test_bit_width():
+    assert bit_width(0) == 0
+    assert bit_width(1) == 1
+    assert bit_width(255) == 8
+    assert bit_width(256) == 9
+
+
+def test_fsst_c_matches_python_reference():
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 256, 2000, dtype=np.uint8)) + b"abcabcabc" * 200
+    syms = train_symbols(data)
+    enc_c = native.encode(*syms, data)
+    enc_py = native._py_encode(*syms, data)
+    assert enc_c == enc_py
+    assert native._py_decode(*syms, enc_c) == data
+    assert native.decode(*syms, enc_c, len(data)) == data
+
+
+def test_fsst_escape_byte_in_data():
+    # 0xFF is the escape byte; data full of it must survive
+    data = b"\xff" * 100 + b"ab\xffcd" * 50
+    syms = train_symbols(data)
+    enc = native.encode(*syms, data)
+    assert native.decode(*syms, enc, len(data)) == data
+
+
+def test_fsst_deterministic_training():
+    data = b"the quick brown fox " * 500
+    s1 = train_symbols(data)
+    s2 = train_symbols(data)
+    assert np.array_equal(s1[0], s2[0]) and np.array_equal(s1[1], s2[1])
+
+
+def test_registry_complete():
+    assert set(REGISTRY) >= {"plain", "for", "dict", "rle", "fsst"}
+
+
+def test_compression_beats_plain_on_favorable_data():
+    lang = pa.array(["en"] * 900 + ["fr"] * 80 + ["de"] * 20)
+    plain = get_codec("plain").encode(lang).encoded_bytes
+    assert get_codec("dict").encode(lang).encoded_bytes < plain
+    assert get_codec("rle").encode(lang).encoded_bytes < plain
+    ts = pa.array(np.arange(10000) * 1000 + 1_700_000_000_000_000, type=pa.timestamp("us"))
+    assert get_codec("for").encode(ts).encoded_bytes < get_codec("plain").encode(ts).encoded_bytes / 2
