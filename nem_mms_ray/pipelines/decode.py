@@ -1,0 +1,111 @@
+"""Decode + round-trip verification pipeline.
+
+The correctness contract (BASELINE.json:north_rule / input_hint): decoded
+columns must be byte-identical per row key — the engine-wide version of the
+reference's round-trip tests (/root/reference/src/manage/state.rs:155-191)
+and its parsed-record exact-equality tests
+(/root/reference/src/flatfile.rs:644-773).
+
+`VerifyPartitions` is an actor-pool stage over the same partition specs used
+for encode: each task decodes its encoded file chunk by chunk and compares
+against a fresh read of the same input row groups, so verification is as
+shuffle-free and streaming as the encode itself.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nem_mms_ray.codecs import EncodedColumn, decode_column
+
+
+def iter_decoded_chunks(encoded_path: str | Path):
+    """Yield (chunk_idx, pa.Table) reassembled from an encoded partition file.
+
+    Chunk rows are contiguous by construction (one record batch written per
+    input batch), so each parquet row group of the encoded file holds whole
+    chunks; a partition file is bounded by the encode target_bytes, and each
+    chunk's encoded columns are decoded together then released.
+    """
+    pf = pq.ParquetFile(encoded_path)
+    for rg in range(pf.metadata.num_row_groups):
+        rows = pf.read_row_group(rg).to_pylist()
+        by_chunk: dict[int, list[dict]] = {}
+        for row in rows:
+            by_chunk.setdefault(row["chunk_idx"], []).append(row)
+        for ci in sorted(by_chunk):
+            cols = {r["column"]: decode_column(EncodedColumn.from_row(r)) for r in by_chunk[ci]}
+            yield ci, pa.table(cols)
+
+
+def decode_partition_file(encoded_path: str | Path) -> pa.Table:
+    """Fully reassemble one encoded partition (small partitions / tests)."""
+    tables = [t for _, t in iter_decoded_chunks(encoded_path)]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+class VerifyPartitions:
+    """Actor-pool callable: spec rows -> per-partition verification rows."""
+
+    def __init__(self, out_dir: str, columns: list[str] | None = None):
+        self.out_dir = Path(out_dir)
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            pid = row["pid"]
+            enc_path = self.out_dir / f"part-{pid:06d}.parquet"
+            pf = pq.ParquetFile(row["path"])
+            orig = pa.Table.from_batches(
+                pf.iter_batches(row_groups=list(row["row_groups"]), columns=self.columns)
+            )
+            dec = decode_partition_file(enc_path)
+            dec = dec.select(orig.column_names)
+            mismates = []
+            for name in orig.column_names:
+                a = orig.column(name).combine_chunks()
+                b = dec.column(name).combine_chunks()
+                if not a.equals(b):
+                    mismates.append(name)
+            out.append(
+                {
+                    "pid": pid,
+                    "rows": orig.num_rows,
+                    "ok": not mismates and dec.num_rows == orig.num_rows,
+                    "mismatched_columns": ",".join(mismates),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+
+def verify_files(
+    input_paths: list[str | Path],
+    out_dir: str | Path,
+    columns: list[str] | None = None,
+    target_bytes: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Round-trip verification as a Ray pipeline over the encode's partitioning."""
+    import ray.data as rd
+
+    from nem_mms_ray.pipelines.encode import DEFAULT_TARGET_BYTES, plan_partitions
+
+    specs = plan_partitions(input_paths, target_bytes or DEFAULT_TARGET_BYTES)
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, min(len(specs), ncpu))
+    ds = rd.from_items([s.to_row() for s in specs])
+    return ds.map_batches(
+        VerifyPartitions,
+        fn_constructor_kwargs={"out_dir": str(out_dir), "columns": columns},
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

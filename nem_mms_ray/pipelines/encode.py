@@ -1,0 +1,319 @@
+"""The flagship encode pipeline: Parquet in -> encoded partitions + manifest.
+
+Ray-Data-native shape (SURVEY.md §3.1 target lifecycle):
+
+    driver: plan_partitions(...)            # metadata only, deterministic ids
+    ray.data.from_items(specs)              # Dataset of partition specs
+      .map_batches(EncodePartitions,        # actor pool, batch = one spec
+                   concurrency=N, num_cpus=1)
+    -> Dataset of per-partition metric rows # consumed small
+
+Each actor task streams its partition through pyarrow record batches
+(bounded memory), runs the sampling pass (sketches -> codec plan, FSST
+symbol tables trained ONCE per partition and reused across batches — the
+stateful-stage contract from BASELINE.json:north_star), encodes column
+chunks, and writes one encoded parquet file + one manifest lineage record
+atomically.  Encode is deliberately shuffle-free: partition independence is
+the design (SURVEY.md §7.3).
+
+This mirrors the reference's parse lifecycle (expand -> classify -> segment
+-> pivot -> route -> write, /root/reference/src/main.rs:92-100,
+/root/reference/src/packages/mod.rs:196-237) with Ray Data supplying the
+parallelism the reference lacks (single-threaded, fully materialized —
+/root/reference/src/packages/mod.rs:197-218).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nem_mms_ray import dtypes
+from nem_mms_ray.codecs import EncodedColumn, get_codec
+from nem_mms_ray.selector import plan_for_sketches
+from nem_mms_ray.state.manifest import Manifest, PartitionRecord
+from nem_mms_ray.stats import merge_sketches, sketch_array
+
+DEFAULT_TARGET_BYTES = 128 << 20
+SAMPLE_ROWS = 4096
+
+ENCODED_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("chunk_idx", pa.int32()),
+        ("first_row", pa.int64()),
+        ("codec", pa.string()),
+        ("n", pa.int64()),
+        ("dtype", pa.string()),
+        ("params", pa.string()),
+        ("payload", pa.large_binary()),
+        ("validity", pa.binary()),
+        ("has_validity", pa.bool_()),
+    ]
+)
+
+
+@dataclass
+class PartitionSpec:
+    """Unit of codec decision, output and resume.  Ids derive from sorted
+    input paths + row-group order — stable across runs and parallelism."""
+
+    pid: int
+    path: str
+    row_groups: list[int]
+    approx_bytes: int
+    rows: int
+
+    def to_row(self) -> dict:
+        return {
+            "pid": self.pid,
+            "path": self.path,
+            "row_groups": self.row_groups,
+            "approx_bytes": self.approx_bytes,
+            "rows": self.rows,
+        }
+
+
+def plan_partitions(
+    paths: list[str | Path],
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> list[PartitionSpec]:
+    """Driver-side, metadata-only partition planning with skew handling.
+
+    Row groups pack greedily up to target_bytes (uncompressed arrow-side
+    estimate from parquet metadata); an oversized row group becomes its own
+    partition (the size-based re-split of SURVEY.md §7.1.6 — giant html/text
+    blobs cannot straddle a partition and blow an actor's heap).
+    """
+    if not paths:
+        raise ValueError("plan_partitions: no input paths given")
+    specs: list[PartitionSpec] = []
+    pid = 0
+    for path in sorted(str(p) for p in paths):
+        md = pq.ParquetFile(path).metadata
+        cur_rgs: list[int] = []
+        cur_bytes = 0
+        cur_rows = 0
+
+        def flush():
+            nonlocal pid, cur_rgs, cur_bytes, cur_rows
+            if cur_rgs:
+                specs.append(PartitionSpec(pid, path, cur_rgs, cur_bytes, cur_rows))
+                pid += 1
+                cur_rgs, cur_bytes, cur_rows = [], 0, 0
+
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            sz = rgm.total_byte_size
+            if sz >= target_bytes:  # oversized row group -> isolated partition
+                flush()
+                specs.append(PartitionSpec(pid, path, [rg], sz, rgm.num_rows))
+                pid += 1
+                continue
+            if cur_bytes + sz > target_bytes:
+                flush()
+            cur_rgs.append(rg)
+            cur_bytes += sz
+            cur_rows += rgm.num_rows
+        flush()
+    return specs
+
+
+def _rows_per_batch(approx_bytes: int, rows: int, target: int = 32 << 20) -> int:
+    avg = max(1, approx_bytes // max(1, rows))
+    return int(np.clip(target // avg, 64, 65536))
+
+
+@dataclass
+class PartitionResult:
+    pid: int
+    rows: int = 0
+    orig_bytes: int = 0
+    encoded_bytes: int = 0
+    wall_sec: float = 0.0
+    skipped: bool = False
+    codecs: dict = field(default_factory=dict)
+
+
+class EncodePartitions:
+    """Actor-pool callable over partition-spec rows (batch_format='pyarrow').
+
+    State held per actor: output dir + manifest handle; state held per
+    partition: codec plan + trained FSST symbol tables (built on the
+    sampling pass, reused for every batch of that partition).
+    """
+
+    def __init__(self, out_dir: str, columns: list[str] | None = None,
+                 sample_rows: int = SAMPLE_ROWS):
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.columns = columns
+        self.sample_rows = sample_rows
+        self.manifest = Manifest(out_dir)
+        self.manifest.init()
+
+    # -- sampling pass ------------------------------------------------------
+    def _plan(self, pf: pq.ParquetFile, row_groups: list[int]):
+        first = next(pf.iter_batches(batch_size=self.sample_rows,
+                                     row_groups=row_groups[:1],
+                                     columns=self.columns))
+        sample = pa.Table.from_batches([first])
+        sketches = {}
+        symbols = {}
+        for name in sample.column_names:
+            arr = sample.column(name).combine_chunks()
+            sketches[name] = sketch_array(name, arr)
+        plans = plan_for_sketches(sketches)
+        for name, plan in plans.items():
+            if plan.codec == "fsst":
+                from nem_mms_ray.codecs.fsst import _string_buffers, train_symbols
+
+                arr = sample.column(name).combine_chunks()
+                _, data = _string_buffers(dtypes.fill_nulls(arr))
+                if len(data):
+                    symbols[name] = train_symbols(data)
+        return plans, symbols
+
+    def _encode_chunk(self, name: str, arr: pa.Array, plans, symbols) -> EncodedColumn:
+        codec_name = plans[name].codec
+        codec = get_codec(codec_name)
+        try:
+            if codec_name == "fsst" and name in symbols:
+                return codec.encode(arr, symbols=symbols[name])
+            return codec.encode(arr)
+        except Exception:
+            # robustness split per the reference (unknown/undecodable unit ->
+            # skip+record, /root/reference/src/packages/mod.rs:201-216):
+            # fall back to the always-valid plain codec, record the event.
+            ec = get_codec("plain").encode(arr)
+            ec.params["fallback_from"] = codec_name
+            return ec
+
+    def _encode_partition(self, spec: PartitionSpec) -> PartitionResult:
+        t0 = time.monotonic()
+        out_path = self.out_dir / f"part-{spec.pid:06d}.parquet"
+        if self.manifest.is_done(spec.pid):
+            return PartitionResult(pid=spec.pid, skipped=True)
+
+        pf = pq.ParquetFile(spec.path)
+        plans, symbols = self._plan(pf, spec.row_groups)
+
+        col_bytes: dict[str, list[int]] = {}
+        rows = 0
+        orig_bytes = 0
+        enc_bytes = 0
+        fd, tmp = tempfile.mkstemp(dir=self.out_dir, suffix=".tmp")
+        os.close(fd)
+        try:
+            writer = pq.ParquetWriter(tmp, ENCODED_SCHEMA)
+            bpr = _rows_per_batch(spec.approx_bytes, spec.rows)
+            for chunk_idx, rb in enumerate(
+                pf.iter_batches(batch_size=bpr, row_groups=spec.row_groups,
+                                columns=self.columns)
+            ):
+                out_rows = []
+                for name, arr in zip(rb.schema.names, rb.columns):
+                    ec = self._encode_chunk(name, arr, plans, symbols)
+                    r = ec.to_row()
+                    r["column"] = name
+                    r["chunk_idx"] = chunk_idx
+                    r["first_row"] = rows
+                    out_rows.append(r)
+                    cb = col_bytes.setdefault(name, [0, 0])
+                    cb[0] += arr.nbytes
+                    cb[1] += ec.encoded_bytes
+                    orig_bytes += arr.nbytes
+                    enc_bytes += ec.encoded_bytes
+                rows += rb.num_rows
+                writer.write_table(pa.Table.from_pylist(out_rows, schema=ENCODED_SCHEMA))
+            writer.close()
+            os.replace(tmp, out_path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+        wall = time.monotonic() - t0
+        self.manifest.write(
+            PartitionRecord(
+                pid=spec.pid,
+                input_file=spec.path,
+                row_groups=list(spec.row_groups),
+                rows=rows,
+                orig_bytes=orig_bytes,
+                encoded_bytes=enc_bytes,
+                file_bytes=out_path.stat().st_size,
+                codecs={c: p.codec for c, p in plans.items()},
+                column_bytes=col_bytes,
+                wall_sec=wall,
+                done=True,
+                output_file=str(out_path),
+            )
+        )
+        return PartitionResult(
+            pid=spec.pid, rows=rows, orig_bytes=orig_bytes,
+            encoded_bytes=enc_bytes, wall_sec=wall,
+            codecs={c: p.codec for c, p in plans.items()},
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = []
+        for row in batch.to_pylist():
+            spec = PartitionSpec(
+                pid=row["pid"], path=row["path"],
+                row_groups=list(row["row_groups"]),
+                approx_bytes=row["approx_bytes"], rows=row["rows"],
+            )
+            res = self._encode_partition(spec)
+            results.append(
+                {
+                    "pid": res.pid,
+                    "rows": res.rows,
+                    "orig_bytes": res.orig_bytes,
+                    "encoded_bytes": res.encoded_bytes,
+                    "wall_sec": res.wall_sec,
+                    "skipped": res.skipped,
+                    "codecs": str(sorted(res.codecs.items())),
+                }
+            )
+        return pa.Table.from_pylist(results)
+
+
+def encode_files(
+    input_paths: list[str | Path],
+    out_dir: str | Path,
+    columns: list[str] | None = None,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Build the encode pipeline; returns a lazy Dataset of metric rows.
+
+    Consume with .to_pandas()/.take_all() (tiny: one row per partition) —
+    the heavy data streams worker-side only.
+    """
+    import ray.data as rd
+
+    specs = plan_partitions(input_paths, target_bytes)
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, min(len(specs), ncpu))
+    ds = rd.from_items([s.to_row() for s in specs])
+    return ds.map_batches(
+        EncodePartitions,
+        fn_constructor_kwargs={"out_dir": str(out_dir), "columns": columns},
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,109 @@
+"""Checkpoint manifest: per-partition lineage records enabling exact resume.
+
+Completes the reference's vestigial `manage` layer
+(/root/reference/src/manage/state.rs:104-148 — a data-directory scan with a
+round-trip-tested filename scheme but an unimplemented `update`): here the
+manifest is load-bearing.  One JSON record per partition under
+`<out_dir>/_manifest/part-{pid:06d}.json`, written atomically (tmp+rename)
+after the partition's encoded file lands; resume skips partitions whose
+record and output both exist (the skip-and-continue semantics of the
+reference's downloader, /root/reference/src/packages/fetch.rs:250-258,
+made idempotent).
+
+Partition ids derive from input fragment paths + row-group ranges — never
+from scheduling order — so N-cpu and 4N-cpu runs agree (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+
+@dataclass
+class PartitionRecord:
+    pid: int
+    input_file: str
+    row_groups: list[int]
+    rows: int = 0
+    orig_bytes: int = 0          # arrow value bytes of the inputs
+    encoded_bytes: int = 0       # codec payload bytes (pre-parquet)
+    file_bytes: int = 0          # bytes of the encoded parquet file on disk
+    codecs: dict = field(default_factory=dict)       # column -> codec name
+    column_bytes: dict = field(default_factory=dict)  # column -> [orig, encoded]
+    wall_sec: float = 0.0
+    done: bool = False
+    output_file: str = ""
+
+    @property
+    def ratio(self) -> float:
+        return self.encoded_bytes / self.orig_bytes if self.orig_bytes else 0.0
+
+
+class Manifest:
+    def __init__(self, out_dir: str | Path):
+        self.out_dir = Path(out_dir)
+        self.dir = self.out_dir / "_manifest"
+
+    def init(self) -> None:
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def record_path(self, pid: int) -> Path:
+        return self.dir / f"part-{pid:06d}.json"
+
+    def is_done(self, pid: int) -> bool:
+        p = self.record_path(pid)
+        if not p.exists():
+            return False
+        try:
+            rec = self.load(pid)
+        except (json.JSONDecodeError, OSError):
+            return False
+        return rec.done and (not rec.output_file or Path(rec.output_file).exists())
+
+    def write(self, rec: PartitionRecord) -> None:
+        self.init()
+        data = json.dumps(asdict(rec), sort_keys=True).encode()
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            os.write(fd, data)
+            os.close(fd)
+            os.replace(tmp, self.record_path(rec.pid))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    def load(self, pid: int) -> PartitionRecord:
+        with open(self.record_path(pid)) as f:
+            return PartitionRecord(**json.load(f))
+
+    def load_all(self) -> list[PartitionRecord]:
+        if not self.dir.exists():
+            return []
+        recs = []
+        for p in sorted(self.dir.glob("part-*.json")):
+            with open(p) as f:
+                recs.append(PartitionRecord(**json.load(f)))
+        return recs
+
+    def summary(self) -> dict:
+        recs = self.load_all()
+        done = [r for r in recs if r.done]
+        orig = sum(r.orig_bytes for r in done)
+        enc = sum(r.encoded_bytes for r in done)
+        return {
+            "partitions": len(recs),
+            "done": len(done),
+            "rows": sum(r.rows for r in done),
+            "orig_bytes": orig,
+            "encoded_bytes": enc,
+            "file_bytes": sum(r.file_bytes for r in done),
+            "ratio": enc / orig if orig else 0.0,
+            "wall_sec_sum": sum(r.wall_sec for r in done),
+        }

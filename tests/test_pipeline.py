@@ -1,0 +1,112 @@
+"""End-to-end Ray pipeline tests: encode -> manifest -> decode round-trip ->
+resume (SURVEY.md §5 plan items 3-4)."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nem_mms_ray.pipelines.decode import decode_partition_file, verify_files
+from nem_mms_ray.pipelines.encode import encode_files, plan_partitions
+from nem_mms_ray.state.manifest import Manifest, PartitionRecord
+from nem_mms_ray.webtable import SMALL, write_webtable
+
+TARGET = 1 << 20
+
+
+@pytest.fixture(scope="module")
+def web_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("web")
+    write_webtable(d, 3000, shard_rows=1500, cfg=SMALL, row_group_rows=512)
+    return d
+
+
+def _paths(web_dir):
+    return sorted(glob.glob(str(web_dir / "*.parquet")))
+
+
+def test_plan_partitions_stable_and_sized(web_dir):
+    specs = plan_partitions(_paths(web_dir), target_bytes=TARGET)
+    assert specs == plan_partitions(_paths(web_dir), target_bytes=TARGET)
+    assert [s.pid for s in specs] == list(range(len(specs)))
+    assert sum(s.rows for s in specs) == 3000
+    # oversized row groups isolated
+    for s in specs:
+        if len(s.row_groups) > 1:
+            assert s.approx_bytes <= TARGET * 2
+
+
+def test_encode_verify_roundtrip(ray_session, web_dir, tmp_path):
+    out = tmp_path / "enc"
+    metrics = encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    assert (metrics["rows"] > 0).all()
+    summ = Manifest(out).summary()
+    assert summ["done"] == summ["partitions"] == len(metrics)
+    assert summ["rows"] == 3000
+    assert 0 < summ["ratio"] < 1.0
+
+    v = verify_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    assert v["ok"].all(), v[~v["ok"]].to_string()
+    assert v["rows"].sum() == 3000
+
+
+def test_compressed_size_beats_reference(ray_session, web_dir, tmp_path):
+    """north_rule: total compressed size <= the reference's (plain parquet)."""
+    out = tmp_path / "enc"
+    encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    import os
+
+    ref_bytes = sum(os.path.getsize(p) for p in _paths(web_dir))
+    enc_files = sum(f.stat().st_size for f in out.glob("part-*.parquet"))
+    assert enc_files <= ref_bytes
+
+
+def test_resume_skips_done_partitions(ray_session, web_dir, tmp_path):
+    out = tmp_path / "enc"
+    m1 = encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    assert not m1["skipped"].any()
+    import os
+
+    mtimes = {f.name: os.path.getmtime(f) for f in out.glob("part-*.parquet")}
+    m2 = encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    assert m2["skipped"].all()
+    assert mtimes == {f.name: os.path.getmtime(f) for f in out.glob("part-*.parquet")}
+
+
+def test_resume_redoes_missing_partition(ray_session, web_dir, tmp_path):
+    out = tmp_path / "enc"
+    encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    victim = sorted(out.glob("part-*.parquet"))[0]
+    victim.unlink()  # simulate a killed run losing one output
+    m2 = encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    assert (~m2["skipped"]).sum() == 1
+    v = verify_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    assert v["ok"].all()
+
+
+def test_decode_partition_file_order_preserved(ray_session, web_dir, tmp_path):
+    out = tmp_path / "enc"
+    encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    specs = plan_partitions(_paths(web_dir), target_bytes=TARGET)
+    s = specs[0]
+    orig = pa.Table.from_batches(
+        pq.ParquetFile(s.path).iter_batches(row_groups=s.row_groups)
+    )
+    dec = decode_partition_file(out / f"part-{s.pid:06d}.parquet")
+    assert dec.select(orig.column_names).equals(orig)
+
+
+def test_manifest_record_roundtrip(tmp_path):
+    m = Manifest(tmp_path)
+    rec = PartitionRecord(
+        pid=3, input_file="/x.parquet", row_groups=[0, 1], rows=10,
+        orig_bytes=100, encoded_bytes=40, file_bytes=50,
+        codecs={"a": "fsst"}, column_bytes={"a": [100, 40]},
+        wall_sec=0.5, done=True, output_file="",
+    )
+    m.write(rec)
+    back = m.load(3)
+    assert back == rec
+    assert m.is_done(3)
+    assert not m.is_done(4)
