@@ -1,44 +1,459 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship encode→verify pipeline on sf0.001.
+`queries()` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 inventory + the training-data ops); `oracle_sql()` gives the
+DuckDB-equivalent SQL for every SQL-expressible one.  Column names match
+between the two (driver hashes values under sorted column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import math
+import shutil
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Encode sf0.001 documents+events with auto-selected codecs, verify the
+    bit-identical round-trip, return per-partition metrics (stable schema)."""
+    from nem_mms_ray.pipelines.decode import verify_files
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = Path("/tmp/nem_mms_ray_entry/encoded")
+    shutil.rmtree(out.parent, ignore_errors=True)
+    rows = []
+    for table in ("documents", "events"):
+        paths = [f"{sf_dir}/{table}.parquet"]
+        tout = out / table
+        metrics = encode_files(paths, tout, target_bytes=8 << 20).to_pandas()
+        ver = verify_files(paths, tout, target_bytes=8 << 20).to_pandas()
+        ok = bool(ver["ok"].all())
+        for _, m in metrics.iterrows():
+            rows.append(
+                {
+                    "table": table,
+                    "pid": int(m["pid"]),
+                    "rows": int(m["rows"]),
+                    "orig_bytes": int(m["orig_bytes"]),
+                    "encoded_bytes": int(m["encoded_bytes"]),
+                    "roundtrip_ok": ok,
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _pricing_summary(sf_dir: str):
+    from nem_mms_ray.ops.relational import pricing_summary
+
+    return pricing_summary(_read(sf_dir, "lineitem"))
+
+
+def _revenue_by_segment(sf_dir: str):
+    from nem_mms_ray.ops.relational import revenue_by_segment
+
+    return revenue_by_segment(_read(sf_dir, "orders"), _read(sf_dir, "customer"))
+
+
+def _top_users(sf_dir: str):
+    from nem_mms_ray.ops.relational import top_users_by_events
+
+    return top_users_by_events(_read(sf_dir, "events"), k=10)
+
+
+def _events_per_user_hour(sf_dir: str):
+    from nem_mms_ray.ops.relational import events_per_user_hour
+
+    ds = events_per_user_hour(_read(sf_dir, "events"))
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("hour")
+        return t.set_column(i, "hour", t.column("hour").cast(pa.timestamp("us")))
+
+    return ds.map_batches(cast_us, batch_format="pyarrow")
+
+
+def _orders_urgent(sf_dir: str):
+    from nem_mms_ray.ops.relational import filter_orders_by_priority
+
+    return filter_orders_by_priority(_read(sf_dir, "orders"), "1-URGENT")
+
+
+def _exact_dedup_docs(sf_dir: str):
+    from nem_mms_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"))
+
+
+def _token_stats(sf_dir: str):
+    from nem_mms_ray.ops.textstats import token_stats_batch
+
+    def ints_only(batch: pa.Table) -> pa.Table:
+        t = token_stats_batch(batch)
+        text = batch.column("text").to_pandas().fillna("")
+        n_punct = text.str.count(r"[.,!?;:]").astype("int64")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "n_chars_obs": t.column("n_chars_obs"),
+                "n_punct": pa.array(n_punct),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(ints_only, batch_format="pyarrow")
+
+
+def _quality_docs(sf_dir: str):
+    from nem_mms_ray.ops.textstats import quality_score_batch
+
+    return _read(sf_dir, "documents").map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def _fingerprint_docs(sf_dir: str):
+    from nem_mms_ray.ops.textstats import fingerprint_batch
+
+    return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _column_stats_docs(sf_dir: str):
+    """Exact per-column stats feeding the codec selector (SQL-checkable
+    analog of stats.sketch_array)."""
+    ds = _read(sf_dir, "documents")
+    rows = []
+    for col in ("lang", "source"):
+        one = ds.select_columns([col])
+        n = one.count()
+        distinct = one.unique(col)
+        nulls = sum(1 for v in distinct if v is None)
+        ndv = len([v for v in distinct if v is not None])
+        null_count = ds.map_batches(
+            lambda t, c=col: pa.table({"k": pa.array([t.column(c).null_count], pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()["k"].sum()
+        rows.append({"col": col, "n": int(n), "ndv": int(ndv), "nulls": int(null_count)})
+    return pa.Table.from_pylist(rows)
+
+
+def _selector_decision_docs(sf_dir: str):
+    """Integer-arithmetic decision surface mirrored in SQL: dict when
+    ndv*20 <= n, else fsst when total_bytes >= 16*n, else plain."""
+    ds = _read(sf_dir, "documents")
+    rows = []
+    for col in ("text", "lang", "source"):
+        one = ds.select_columns([col])
+        n = one.count()
+        ndv = len([v for v in one.unique(col) if v is not None])
+        total = one.map_batches(
+            lambda t, c=col: pa.table(
+                {"b": pa.array(
+                    [int(pa.compute.sum(pa.compute.binary_length(t.column(c))).as_py() or 0)],
+                    pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["b"].sum()
+        codec = "dict" if ndv * 20 <= n else ("fsst" if total >= 16 * n else "plain")
+        rows.append({"col": col, "n": int(n), "ndv": int(ndv),
+                     "total_bytes": int(total), "codec": codec})
+    return pa.Table.from_pylist(rows)
+
+
+def _for_plan_events(sf_dir: str):
+    """FOR+bitpack plan for events.ts: base/max/width/packed size (ints)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events")
+
+    def mm(t: pa.Table) -> pa.Table:
+        iv = t.column("ts").cast(pa.int64())
+        m = pc.min_max(iv)
+        return pa.table({"mn": pa.array([m["min"].as_py()], pa.int64()),
+                         "mx": pa.array([m["max"].as_py()], pa.int64()),
+                         "n": pa.array([len(iv)], pa.int64())})
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    ts_min, ts_max, n = int(parts["mn"].min()), int(parts["mx"].max()), int(parts["n"].sum())
+    width = math.ceil(math.log2(ts_max - ts_min + 1)) if ts_max > ts_min else 0
+    packed = (n * width + 7) // 8
+    return pa.Table.from_pylist(
+        [{"ts_min": ts_min, "ts_max": ts_max, "n": n, "width": width,
+          "packed_bytes": packed}]
+    )
+
+
+def _ann_topk(sf_dir: str):
+    from nem_mms_ray.ops.ann import topk_cosine
+
+    ds = _read(sf_dir, "embeddings")
+    q = None
+    for batch in iter(ds.iter_batches(batch_size=256, batch_format="pyarrow")):
+        ids = batch.column("vec_id").to_pylist()
+        if 0 in ids:
+            q = np.asarray(batch.column("embedding").to_pylist()[ids.index(0)], np.float64)
+            break
+    res = topk_cosine(ds, q, k=10)
+    return pa.Table.from_pandas(
+        res.rename(columns={"vec_id": "vec_id"})[["vec_id", "cosine"]],
+        preserve_index=False,
+    )
+
+
+# -- rows-only (not SQL-expressible) ----------------------------------------
+
+
+def _minhash_pairs(sf_dir: str):
+    from nem_mms_ray.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_docs(sf_dir: str):
+    from nem_mms_ray.ops.dedup import simhash_batch
+
+    return _read(sf_dir, "documents").map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _embedding_near_pairs(sf_dir: str):
+    from nem_mms_ray.ops.dedup import embedding_near_pairs
+
+    return embedding_near_pairs(_read(sf_dir, "embeddings"), threshold=0.95)
+
+
+def _lang_id_docs(sf_dir: str):
+    from nem_mms_ray.ops.textstats import LangId
+
+    return _read(sf_dir, "documents").map_batches(
+        LangId, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+
+
+def _rolling_fp_docs(sf_dir: str):
+    from nem_mms_ray.ops.textstats import rolling_fingerprint_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        rolling_fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def _ivf_ann_topk(sf_dir: str):
+    from nem_mms_ray.ops.ann import ivf_topk_cosine
+
+    ds = _read(sf_dir, "embeddings")
+    q = None
+    for batch in iter(ds.iter_batches(batch_size=256, batch_format="pyarrow")):
+        ids = batch.column("vec_id").to_pylist()
+        if 0 in ids:
+            q = np.asarray(batch.column("embedding").to_pylist()[ids.index(0)], np.float64)
+            break
+    res = ivf_topk_cosine(ds, q, k=10)
+    return pa.Table.from_pandas(res[["vec_id", "cosine", "rank"]], preserve_index=False)
+
+
+def _encode_documents(sf_dir: str):
+    from nem_mms_ray.pipelines.decode import verify_files
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    out = Path("/tmp/nem_mms_ray_q/encoded_documents")
+    shutil.rmtree(out, ignore_errors=True)
+    paths = [f"{sf_dir}/documents.parquet"]
+    metrics = encode_files(paths, out, target_bytes=16 << 20).to_pandas()
+    ver = verify_files(paths, out, target_bytes=16 << 20).to_pandas()
+    metrics["roundtrip_ok"] = bool(ver["ok"].all())
+    return pa.Table.from_pandas(
+        metrics[["pid", "rows", "orig_bytes", "encoded_bytes", "roundtrip_ok"]],
+        preserve_index=False,
+    )
+
+
+def _media_features_docs(sf_dir: str):
+    """Multimodal plumbing demo: text bytes as opaque payload -> stub
+    feature extraction (actor pool, list<float> output)."""
+    from nem_mms_ray.ops.multimodal import extract_features
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payload = t.column("text").cast(pa.binary())
+        return pa.table({"doc_id": t.column("doc_id"), "payload": payload})
+
+    ds = _read(sf_dir, "documents").map_batches(to_binary, batch_format="pyarrow")
+    feats = extract_features(ds, payload_col="payload", concurrency=2)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        vecs = [np.asarray(v, np.float64) for v in t.column("features").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "dim": pa.array([len(v) for v in vecs], pa.int32()),
+                "feat_norm": pa.array([round(float(np.linalg.norm(v)), 6) for v in vecs],
+                                      pa.float64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational breadth (groupby+combiner, broadcast join, top-k, windows)
+        "pricing_summary": _pricing_summary,
+        "revenue_by_segment": _revenue_by_segment,
+        "top_users": _top_users,
+        "events_per_user_hour": _events_per_user_hour,
+        "orders_urgent": _orders_urgent,
+        # encode-engine analytics (stats, selector, FOR plan)
+        "column_stats_docs": _column_stats_docs,
+        "selector_decision_docs": _selector_decision_docs,
+        "for_plan_events": _for_plan_events,
+        # text analysis
+        "token_stats": _token_stats,
+        "quality_docs": _quality_docs,
+        "fingerprint_docs": _fingerprint_docs,
+        "lang_id_docs": _lang_id_docs,
+        "rolling_fp_docs": _rolling_fp_docs,
+        # dedup family
+        "exact_dedup_docs": _exact_dedup_docs,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_docs": _simhash_docs,
+        "embedding_near_pairs": _embedding_near_pairs,
+        # similarity search
+        "ann_topk": _ann_topk,
+        "ivf_ann_topk": _ivf_ann_topk,
+        # flagship encode + multimodal plumbing
+        "encode_documents": _encode_documents,
+        "media_features_docs": _media_features_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6)  AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price,
+                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_users": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "events_per_user_hour": """
+            SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "orders_urgent": """
+            SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "column_stats_docs": """
+            SELECT 'lang' AS col, count(*) AS n, count(DISTINCT lang) AS ndv,
+                   (count(*) - count(lang)) AS nulls FROM documents
+            UNION ALL
+            SELECT 'source' AS col, count(*) AS n, count(DISTINCT source) AS ndv,
+                   (count(*) - count(source)) AS nulls FROM documents
+        """,
+        "selector_decision_docs": """
+            SELECT col, n, ndv, total_bytes,
+                   CASE WHEN ndv * 20 <= n THEN 'dict'
+                        WHEN total_bytes >= 16 * n THEN 'fsst'
+                        ELSE 'plain' END AS codec
+            FROM (
+                SELECT 'text' AS col, count(*) AS n, count(DISTINCT text) AS ndv,
+                       coalesce(sum(strlen(text)), 0)::BIGINT AS total_bytes
+                FROM documents
+                UNION ALL
+                SELECT 'lang', count(*), count(DISTINCT lang),
+                       coalesce(sum(strlen(lang)), 0)::BIGINT FROM documents
+                UNION ALL
+                SELECT 'source', count(*), count(DISTINCT source),
+                       coalesce(sum(strlen(source)), 0)::BIGINT FROM documents
+            )
+        """,
+        "for_plan_events": """
+            SELECT ts_min, ts_max, n,
+                   CASE WHEN ts_max > ts_min
+                        THEN ceil(log2((ts_max - ts_min + 1)::DOUBLE))::BIGINT
+                        ELSE 0 END AS width,
+                   (n * (CASE WHEN ts_max > ts_min
+                         THEN ceil(log2((ts_max - ts_min + 1)::DOUBLE))::BIGINT
+                         ELSE 0 END) + 7) // 8 AS packed_bytes
+            FROM (SELECT min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+                         count(*) AS n FROM events)
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT
+                       AS n_tokens,
+                   len(coalesce(text, ''))::BIGINT AS n_chars_obs,
+                   (len(coalesce(text, ''))
+                    - len(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))::BIGINT
+                       AS n_punct
+            FROM documents
+        """,
+        "quality_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE
+                           AS n_tokens,
+                       len(coalesce(text, ''))::DOUBLE AS n_chars,
+                       (len(coalesce(text, ''))
+                        - len(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))::DOUBLE
+                           AS n_punct
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(least(1.0, n_tokens / 100.0)
+                         * (1.0 - least(round(n_punct / greatest(n_chars, 1), 6) * 5.0, 0.5)), 6)
+                       AS quality
+            FROM t
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT md5(coalesce(text, '')) AS fp, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(coalesce(text, ''))
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
+    }

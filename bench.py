@@ -1,0 +1,196 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N, ...extras}
+
+`--scaling` runs the harness twice in fresh processes (RAY_GRAFT_CPUS=8 and
+32) on identical input and reports both throughputs + scaling efficiency —
+the sandbox protocol for the north rule's two-cluster-size criterion
+(no real multi-node cluster here; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+WEBTABLE_CACHE = Path(os.environ.get("NEM_MMS_WEBTABLE_CACHE", "/tmp/nem_mms_webtable"))
+
+
+def _sf_value(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def webtable_rows(sf: float) -> int:
+    return max(5_000, int(sf * 1_200_000))
+
+
+def ensure_webtable(rows: int) -> Path:
+    """Deterministic cached webtable (bench config: moderate blobs)."""
+    from nem_mms_ray.webtable import WebTableConfig, write_webtable
+
+    cfg = WebTableConfig(html_median=2048, blob_frac=0.0005,
+                         blob_min=1 << 20, blob_max=4 << 20)
+    d = WEBTABLE_CACHE / f"rows{rows}"
+    write_webtable(d, rows, shard_rows=25_000, cfg=cfg)
+    return d
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+
+    from nem_mms_ray.ops.ann import topk_cosine
+    from nem_mms_ray.ops.dedup import minhash_dedup
+    from nem_mms_ray.ops.textstats import LangId, quality_score_batch, token_stats_batch
+    from nem_mms_ray.pipelines.decode import verify_files
+    from nem_mms_ray.pipelines.encode import encode_files
+    from nem_mms_ray.state.manifest import Manifest
+
+    sf = _sf_value(SF_DIR)
+    rows = webtable_rows(sf)
+    web_dir = ensure_webtable(rows)
+    web_paths = sorted(str(p) for p in web_dir.glob("*.parquet"))
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # warm page cache (untimed) so we measure compute, not first disk read
+    for p in web_paths:
+        Path(p).read_bytes()
+
+    # --- flagship: encode the webtable ------------------------------------
+    enc_out = Path("/tmp/nem_mms_bench/encoded_web")
+    shutil.rmtree(enc_out, ignore_errors=True)
+    t0 = time.monotonic()
+    encode_files(web_paths, enc_out, target_bytes=64 << 20).to_pandas()
+    queries["encode_webtable"] = round(time.monotonic() - t0, 3)
+    summ = Manifest(enc_out).summary()
+    extras["encode_rows"] = summ["rows"]
+    extras["encode_orig_bytes"] = summ["orig_bytes"]
+    extras["encode_ratio"] = round(summ["ratio"], 4)
+    extras["encode_gbps"] = round(
+        summ["orig_bytes"] / 1e9 / queries["encode_webtable"], 3
+    )
+    ref_bytes = sum(Path(p).stat().st_size for p in web_paths)
+    extras["reference_parquet_bytes"] = ref_bytes
+    extras["encoded_file_bytes"] = summ["file_bytes"]
+    extras["size_vs_reference"] = round(summ["file_bytes"] / ref_bytes, 4)
+
+    # --- decode + bit-identical verify ------------------------------------
+    t0 = time.monotonic()
+    v = verify_files(web_paths, enc_out, target_bytes=64 << 20).to_pandas()
+    queries["verify_webtable"] = round(time.monotonic() - t0, 3)
+    extras["roundtrip_ok"] = bool(v["ok"].all())
+
+    # --- encode the sf tables (documents + lineitem + events) -------------
+    enc2 = Path("/tmp/nem_mms_bench/encoded_sf")
+    shutil.rmtree(enc2, ignore_errors=True)
+    sf_paths = [f"{SF_DIR}/{t}.parquet" for t in ("documents", "lineitem", "events")]
+    t0 = time.monotonic()
+    encode_files(sf_paths, enc2, target_bytes=64 << 20).to_pandas()
+    queries["encode_sf_tables"] = round(time.monotonic() - t0, 3)
+
+    # --- text pipeline over documents -------------------------------------
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.map_batches(token_stats_batch, batch_format="pyarrow") \
+            .map_batches(lambda t: t, batch_format="pyarrow").count()
+    docs2 = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs2.map_batches(quality_score_batch, batch_format="pyarrow").count()
+    docs3 = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs3.map_batches(LangId, batch_format="pyarrow", concurrency=4, num_cpus=1).count()
+    queries["text_pipeline"] = round(time.monotonic() - t0, 3)
+    extras["text_docs"] = n
+
+    # --- minhash near-dup over documents ----------------------------------
+    t0 = time.monotonic()
+    pairs = minhash_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet"), threshold=0.8)
+    extras["minhash_pairs"] = pairs.count()
+    queries["dedup_minhash"] = round(time.monotonic() - t0, 3)
+
+    # --- ANN top-k over embeddings ----------------------------------------
+    t0 = time.monotonic()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    first = next(iter(emb.iter_batches(batch_size=64, batch_format="pyarrow")))
+    qv = np.asarray(first.column("embedding").to_pylist()[0], np.float64)
+    topk_cosine(emb, qv, k=10, concurrency=4)
+    queries["ann_topk"] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+    sf = _sf_value(SF_DIR)
+    ensure_webtable(webtable_rows(sf))  # warm the cache before either run
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True, cwd=str(Path(__file__).parent),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["encode_webtable"]
+    t_hi = r_hi["queries"]["encode_webtable"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "encode_sec_lo": t_lo,
+        "encode_sec_hi": t_hi,
+        "gbps_lo": round(r_lo["encode_orig_bytes"] / 1e9 / t_lo, 3),
+        "gbps_hi": round(r_hi["encode_orig_bytes"] / 1e9 / t_hi, 3),
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+        "sf": _sf_value(SF_DIR),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

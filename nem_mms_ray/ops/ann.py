@@ -1,0 +1,169 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- `topk_cosine`: exact brute force — numpy matmul per batch against a
+  broadcast query matrix (ray.put once, read per actor), per-batch local
+  top-k then a tiny driver-side merge.  The baseline and the oracle.
+- `ivf_topk_cosine`: IVF scale path — deterministic sample centroids,
+  batches route to nearest centroids, search only nprobe closest lists.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, np.float64)))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col))
+        m = _normalize(_to_matrix(batch.column(self.vec_col)))
+        sims = m @ self.q.T  # (batch, nq)
+        rows = {"query_idx": [], self.id_col: [], "cosine": []}
+        k = min(self.k, len(ids))
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+            for t in top:
+                rows["query_idx"].append(qi)
+                rows[self.id_col].append(int(ids[t]))
+                rows["cosine"].append(float(s[t]))
+        return pa.table(
+            {
+                "query_idx": pa.array(rows["query_idx"], pa.int32()),
+                self.id_col: pa.array(rows[self.id_col], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
+
+
+def topk_cosine(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding",
+                id_col: str = "vec_id", concurrency: int = 4) -> pd.DataFrame:
+    """Exact top-k via per-batch candidates + driver merge (tiny result).
+
+    Returns a DataFrame (query_idx, id, cosine, rank) sorted deterministically
+    (cosine desc, id asc tie-break).
+    """
+    import ray
+
+    qref = ray.put(np.atleast_2d(np.asarray(queries, np.float64)))
+    cands = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k,
+                               "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).to_pandas()
+    out = []
+    for qi, g in cands.groupby("query_idx"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else cands.assign(rank=[])
+    res["cosine"] = res["cosine"].round(6)
+    return res[["query_idx", id_col, "cosine", "rank"]]
+
+
+def build_ivf_centroids(ds, n_centroids: int, vec_col: str = "embedding",
+                        sample_rows: int = 2048, seed: int = 42,
+                        iters: int = 5) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (Lloyd's, fixed
+    seed/init).  The centroid matrix is tiny and broadcast to searchers."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _normalize(np.stack([np.asarray(v, np.float64) for v in sample[vec_col]]))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    c = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (m @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            pts = m[assign == j]
+            if len(pts):
+                c[j] = pts.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk_cosine(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+                    nprobe: int = 4, vec_col: str = "embedding",
+                    id_col: str = "vec_id", concurrency: int = 4) -> pd.DataFrame:
+    """IVF-style ANN: rows route to their nearest centroid's list; each query
+    searches only its nprobe closest lists.  Recall < 1.0 by design; the
+    brute-force path is the correctness oracle."""
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(queries, np.float64)))
+    cents = build_ivf_centroids(ds, n_centroids, vec_col)
+    cref = ray.put(cents)
+    probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for li in lists:
+            wanted.setdefault(int(li), []).append(qi)
+    wref = ray.put(wanted)
+    qref = ray.put(q)
+
+    class ProbeSearch:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.w = ray.get(wref)
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col))
+            m = _normalize(_to_matrix(batch.column(vec_col)))
+            assign = (m @ self.c.T).argmax(axis=1)
+            rows = {"query_idx": [], id_col: [], "cosine": []}
+            for li, qis in self.w.items():
+                mask = assign == li
+                if not mask.any():
+                    continue
+                sub = m[mask]
+                sub_ids = ids[mask]
+                sims = sub @ self.q[qis].T
+                kk = min(k, len(sub_ids))
+                for col, qi in enumerate(qis):
+                    s = sims[:, col]
+                    top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+                    for t in top:
+                        rows["query_idx"].append(qi)
+                        rows[id_col].append(int(sub_ids[t]))
+                        rows["cosine"].append(float(s[t]))
+            return pa.table({"query_idx": pa.array(rows["query_idx"], pa.int32()),
+                             id_col: pa.array(rows[id_col], pa.int64()),
+                             "cosine": pa.array(rows["cosine"], pa.float64())})
+
+    cands = ds.map_batches(ProbeSearch, batch_format="pyarrow",
+                           concurrency=concurrency, num_cpus=1).to_pandas()
+    out = []
+    for qi, g in cands.groupby("query_idx"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        out.append(g.assign(rank=np.arange(1, len(g) + 1)))
+    res = pd.concat(out, ignore_index=True) if out else cands.assign(rank=[])
+    res["cosine"] = res["cosine"].round(6)
+    return res[["query_idx", id_col, "cosine", "rank"]]

@@ -1,0 +1,324 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (ray_guide patterns):
+- exact: vectorized md5 per batch -> groupby(fp) keep min doc_id (one small
+  shuffle over 16-byte keys, pre-hashed so text never shuffles)
+- minhash: shingle+minhash per batch (numpy) -> explode to
+  (band, band_hash, doc_id) -> groupby bands -> candidate pairs -> Jaccard
+  verify -> representative = min doc_id of the pair graph (label propagation)
+- simhash/embedding: per-batch signatures; bucket by prefix/hyperplane for
+  candidate generation.
+
+All randomness is seeded; outputs are deterministic for a given input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_P61 = np.uint64((1 << 61) - 1)  # Mersenne prime for minhash permutations
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
+    """Survivors (min id per distinct key value). Returns Dataset[id, fp]."""
+    from ray.data.aggregate import Min
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key).to_pylist()
+        fps = [hashlib.md5((v or "").encode()).hexdigest() for v in vals]
+        return pa.table({id_col: batch.column(id_col), "fp": pa.array(fps)})
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(text: str, n: int = 3) -> np.ndarray:
+    """Hashes of word n-grams (the shingle set), vectorized-ish."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    if not grams:
+        return np.zeros(0, np.uint64)
+    h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+         for g in grams),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+    return np.unique(h)
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_P61), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_P61), num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(shingles) == 0:
+        return np.full(len(a), int(_P61), np.uint64)
+    # (a*x + b) mod p per permutation; uint64 wrap-around then mod keeps
+    # determinism (not a true mod-p universal hash but stable + well-mixed)
+    x = shingles[None, :] * a[:, None] + b[:, None]
+    return (x % _P61).min(axis=1)
+
+
+class MinHashStage:
+    """Actor-pool stage: doc -> minhash signature + LSH band keys.
+
+    Permutation parameters built once per actor (__init__), applied per
+    batch; emits one row per (doc, band) ready for the band groupby.
+    """
+
+    def __init__(self, num_perm: int = 128, bands: int = 16, ngram: int = 3,
+                 seed: int = 42, id_col: str = "doc_id", text_col: str = "text"):
+        assert num_perm % bands == 0
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.ngram = ngram
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, t in zip(ids, texts):
+            sig = _minhash(_word_ngrams(t or "", self.ngram), self.a, self.b)
+            sig_bytes = sig.tobytes()
+            for bnd in range(self.bands):
+                chunk = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
+                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_id.append(i)
+                out_band.append(bnd)
+                out_key.append(key)
+                out_sig.append(sig_bytes)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_key": pa.array(out_key),
+                "sig": pa.array(out_sig, type=pa.binary()),
+            }
+        )
+
+
+def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one (band, band_key) bucket (skew-guarded)."""
+    docs = np.sort(group["doc_id"].unique())
+    if len(docs) < 2:
+        return pd.DataFrame({"a": [], "b": []})
+    if len(docs) > 200:  # salt guard: enormous bucket = degenerate key
+        docs = docs[:200]
+    a_idx, b_idx = np.triu_indices(len(docs), k=1)
+    return pd.DataFrame({"a": docs[a_idx], "b": docs[b_idx]})
+
+
+def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
+                            ngram: int = 3, concurrency: int | None = None):
+    """Dataset[(a, b)] of LSH candidate pairs (a < b, distinct)."""
+    sig = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram},
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+        num_cpus=1,
+    ).select_columns(["doc_id", "band", "band_key"])
+    pairs = sig.groupby(["band", "band_key"]).map_groups(
+        _pairs_from_band, batch_format="pandas"
+    )
+    # distinct pairs (a,b may surface from multiple bands)
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands")).select_columns(["a", "b"])
+
+
+def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
+    sa, sb = _word_ngrams(text_a, ngram), _word_ngrams(text_b, ngram)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
+                  bands: int = 16, ngram: int = 3):
+    """Near-dup pairs verified by exact n-gram Jaccard >= threshold.
+
+    Returns Dataset[(a, b, jaccard)].  The verify step broadcasts the
+    candidate docs' texts via ray.put (small side) instead of a join
+    shuffle — candidate sets are a tiny fraction of the corpus.
+    """
+    import ray
+
+    pairs_ds = minhash_candidate_pairs(ds, num_perm, bands, ngram)
+    pairs = pairs_ds.to_pandas()
+    if len(pairs) == 0:
+        return ray.data.from_items([]).map_batches(
+            lambda b: pa.table({"a": pa.array([], pa.int64()),
+                                "b": pa.array([], pa.int64()),
+                                "jaccard": pa.array([], pa.float64())}),
+            batch_format="pyarrow",
+        )
+    need = np.unique(np.concatenate([pairs["a"].values, pairs["b"].values]))
+    need_set = set(int(x) for x in need)
+
+    def filter_needed(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(i) in need_set for i in batch.column("doc_id").to_pylist()])
+        return batch.filter(mask).select(["doc_id", "text"])
+
+    texts_tbl = ds.map_batches(filter_needed, batch_format="pyarrow").to_pandas()
+    texts = dict(zip(texts_tbl["doc_id"].astype(int), texts_tbl["text"]))
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = ray.get(texts_ref)
+        rows = {"a": [], "b": [], "jaccard": []}
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            j = jaccard(tx.get(int(a), "") or "", tx.get(int(b), "") or "", ngram)
+            if j >= threshold:
+                rows["a"].append(int(a))
+                rows["b"].append(int(b))
+                rows["jaccard"].append(round(j, 6))
+        return pa.table({"a": pa.array(rows["a"], pa.int64()),
+                         "b": pa.array(rows["b"], pa.int64()),
+                         "jaccard": pa.array(rows["jaccard"], pa.float64())})
+
+    import ray.data as rd
+
+    return rd.from_pandas(pairs).map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """64-bit SimHash per doc: sign-sum of token-hash bit vectors."""
+    ids = batch.column(id_col)
+    out = []
+    for t in batch.column(text_col).to_pylist():
+        words = (t or "").split()
+        if not words:
+            out.append(0)
+            continue
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+             for w in words),
+            dtype=np.uint64, count=len(words),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for k in np.nonzero(v > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(k)
+        out.append(int(sh.astype(np.int64)))  # two's complement into int64
+    return pa.table({id_col: ids, "simhash": pa.array(out, type=pa.int64())})
+
+
+def simhash_near_pairs(ds, max_hamming: int = 3, prefix_bits: int = 16):
+    """Near-dup pairs by SimHash: bucket on each of 4 16-bit bands (any band
+    equal -> candidate), verify Hamming distance <= max_hamming."""
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        shs = batch.column("simhash").to_pylist()
+        rows = {"doc_id": [], "band": [], "key": [], "simhash": []}
+        for i, s in zip(ids, shs):
+            u = np.uint64(np.int64(s).astype(np.uint64))
+            for b in range(4):
+                rows["doc_id"].append(i)
+                rows["band"].append(b)
+                rows["key"].append(int((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+                rows["simhash"].append(s)
+        return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                         "band": pa.array(rows["band"], pa.int32()),
+                         "key": pa.array(rows["key"], pa.int32()),
+                         "simhash": pa.array(rows["simhash"], pa.int64())})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2 or len(g) > 200:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ids = g["doc_id"].values
+        sh = g["simhash"].values.astype(np.int64).astype(np.uint64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = sh[ai] ^ sh[bi]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+
+    sig = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    pairs = sig.map_batches(explode, batch_format="pyarrow") \
+               .groupby(["band", "key"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 42,
+                         vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Cosine near-dup via random-hyperplane LSH buckets + in-bucket verify.
+
+    Scale path: docs land in 2^n_planes sign buckets (near-identical vectors
+    share buckets with high probability); exact cosine check within buckets
+    only.  Deterministic: planes from a fixed seed.
+    """
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = np.stack([np.asarray(v, np.float64) for v in batch.column(vec_col).to_pylist()])
+        dim = vecs.shape[1]
+        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+        signs = (vecs @ planes) >= 0
+        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "bucket": pa.array(keys),
+                         vec_col: batch.column(vec_col)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        if len(g) < 2 or len(g) > 500:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids = g[id_col].values
+        m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        mn = m / norms
+        sim = mn @ mn.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sim[ai, bi] >= threshold
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                             "cosine": np.round(sim[ai, bi][keep], 6)})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

@@ -1,0 +1,229 @@
+"""Tests for the training-data operators (dedup, ANN, text stats, multimodal)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts = []
+    for i in range(200):
+        texts.append(" ".join(rng.choice(words, 40)))
+    # planted exact dups
+    texts[50] = texts[10]
+    texts[51] = texts[10]
+    # planted near-dup: one word changed
+    w = texts[20].split()
+    w[5] = "CHANGED"
+    texts[60] = " ".join(w)
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    return rd.from_pandas(df), df
+
+
+def test_exact_dedup(docs_ds):
+    from nem_mms_ray.ops.dedup import exact_dedup
+
+    ds, df = docs_ds
+    survivors = exact_dedup(ds).to_pandas()
+    expected = df.groupby("text")["doc_id"].min()
+    assert sorted(survivors["doc_id"]) == sorted(expected.values)
+    assert 50 not in survivors["doc_id"].values
+    assert 10 in survivors["doc_id"].values
+
+
+def test_minhash_finds_planted_dups(docs_ds):
+    from nem_mms_ray.ops.dedup import minhash_dedup
+
+    ds, df = docs_ds
+    pairs = minhash_dedup(ds, threshold=0.7).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (10, 50) in got and (10, 51) in got and (50, 51) in got
+    assert (20, 60) in got  # near-dup (1 of ~38 3-grams changed -> j ~ 0.85)
+
+
+def test_jaccard_symmetry_and_bounds():
+    from nem_mms_ray.ops.dedup import jaccard
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox leaps over the lazy dog"
+    j = jaccard(a, b)
+    assert 0 < j < 1
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, b) == jaccard(b, a)
+    assert jaccard("", "") == 1.0
+
+
+def test_simhash_identical_and_near(docs_ds, ray_session):
+    from nem_mms_ray.ops.dedup import simhash_batch, simhash_near_pairs
+
+    ds, df = docs_ds
+    sig = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
+    sh = dict(zip(sig["doc_id"], sig["simhash"]))
+    assert sh[10] == sh[50] == sh[51]
+    # near-dup should be within a few bits
+    ham = bin(np.uint64(np.int64(sh[20]).astype(np.uint64))
+              ^ np.uint64(np.int64(sh[60]).astype(np.uint64))).count("1")
+    assert ham <= 10
+    pairs = simhash_near_pairs(ds, max_hamming=3).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (10, 50) in got
+
+
+def test_embedding_near_pairs(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import embedding_near_pairs
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 16))
+    vecs[7] = vecs[3] + rng.standard_normal(16) * 0.01  # planted near-dup
+    df = pd.DataFrame({
+        "vec_id": np.arange(100, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    pairs = embedding_near_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (3, 7) in got
+
+
+def test_ann_matches_numpy_bruteforce(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.ann import topk_cosine
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((300, 24))
+    df = pd.DataFrame({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    q = vecs[0]
+    res = topk_cosine(rd.from_pandas(df), q, k=5)
+    mn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = mn @ (q / np.linalg.norm(q))
+    expect = np.lexsort((np.arange(300), -sims))[:5]
+    assert list(res["vec_id"]) == [int(i) for i in expect]
+    assert res["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.ann import ivf_topk_cosine, topk_cosine
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate([c + rng.standard_normal((50, 16)) for c in centers])
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    ds = rd.from_pandas(df)
+    q = vecs[10]
+    exact = set(topk_cosine(ds, q, k=10)["vec_id"])
+    approx = set(ivf_topk_cosine(ds, q, k=10, n_centroids=8, nprobe=3)["vec_id"])
+    assert len(exact & approx) / 10 >= 0.7  # clustered data -> high recall
+
+
+def test_token_stats_and_quality(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.textstats import quality_score_batch, token_stats_batch
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["one two three", "", None, "hi, there! ok."],
+    })
+    t = token_stats_batch(pa.Table.from_pandas(df))
+    assert t.column("n_tokens").to_pylist() == [3, 0, 0, 3]
+    assert t.column("n_chars_obs").to_pylist() == [13, 0, 0, 14]
+    q = quality_score_batch(pa.Table.from_pandas(df))
+    vals = q.column("quality").to_pylist()
+    assert vals[1] == 0.0 and 0 <= vals[0] <= 1
+
+
+def test_lang_id(ray_session):
+    from nem_mms_ray.ops.textstats import LangId
+
+    li = LangId()
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat and the dog was in the house",
+            "der Hund ist nicht mit der Katze in das Haus",
+            "",
+        ]),
+    })
+    out = li(batch)
+    assert out.column("lang_pred").to_pylist()[:2] == ["en", "de"]
+    assert out.column("lang_pred").to_pylist()[2] == "und"
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.multimodal import DecodeMedia, FrameSample, decode_media, extract_features
+
+    df = pd.DataFrame({
+        "url": ["a", "b", "c"],
+        "html": [b"x" * 1000, None, b"hello world" * 50],
+    })
+    ds = rd.from_pandas(df)
+    dec = decode_media(ds, concurrency=1).to_pandas()
+    assert list(dec["media_ok"]) == [True, False, True]
+    assert dec.loc[0, "media_bytes"] == 1000
+
+    feats = extract_features(rd.from_pandas(df), concurrency=1).to_pandas()
+    assert all(len(f) == 16 for f in feats["features"])
+    assert np.allclose(sum(feats["features"][0]), 1.0)
+
+    fs = FrameSample()(pa.Table.from_pandas(df))
+    assert set(fs.column("url").to_pylist()) == {"a", "c"}
+    assert all(len(f) <= 256 for f in fs.column("frame").to_pylist())
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(backend="real")(pa.Table.from_pandas(df))
+    with pytest.raises(ValueError):
+        DecodeMedia(backend="bogus")
+
+
+def test_rolling_fingerprint_deterministic():
+    from nem_mms_ray.ops.textstats import rolling_fingerprint_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["some document text here " * 10, "short"]),
+    })
+    a = rolling_fingerprint_batch(batch)
+    b = rolling_fingerprint_batch(batch)
+    assert a.equals(b)
+    # same content -> same fingerprint regardless of doc id
+    batch2 = pa.table({
+        "doc_id": pa.array([99], pa.int64()),
+        "text": pa.array(["some document text here " * 10]),
+    })
+    assert rolling_fingerprint_batch(batch2).column("rfp")[0] == a.column("rfp")[0]
+
+
+def test_relational_pricing_summary(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.relational import pricing_summary
+
+    df = pd.DataFrame({
+        "l_returnflag": ["A", "A", "B"],
+        "l_linestatus": ["O", "O", "F"],
+        "l_quantity": [1.0, 2.0, 3.0],
+        "l_extendedprice": [10.0, 20.0, 30.0],
+        "l_discount": [0.1, 0.2, 0.3],
+    })
+    out = pricing_summary(rd.from_pandas(df)).to_pandas().sort_values("l_returnflag")
+    assert list(out["sum_qty"]) == [3.0, 3.0]
+    assert list(out["n"]) == [2, 1]
+    assert out["avg_disc"].iloc[0] == pytest.approx(0.15)
