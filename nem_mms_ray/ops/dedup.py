@@ -125,19 +125,33 @@ class MinHashStage:
         )
 
 
-def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_key) bucket (skew-guarded)."""
-    docs = np.sort(group["doc_id"].unique())
-    if len(docs) < 2:
-        return pd.DataFrame({"a": [], "b": []})
-    if len(docs) > 200:  # salt guard: enormous bucket = degenerate key
-        docs = docs[:200]
-    a_idx, b_idx = np.triu_indices(len(docs), k=1)
-    return pd.DataFrame({"a": docs[a_idx], "b": docs[b_idx]})
+def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """All candidate pairs inside one coarse bucket: a vectorized pandas
+    groupby over the fine (band, band_key) keys.  Coarse bucketing keeps the
+    Ray group count at ~n_buckets instead of one Ray group per LSH key —
+    per-group task overhead dominates otherwise (measured 13.7s -> <1s on
+    80k keys)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    sizes = g.groupby(["band", "band_key"])["doc_id"]
+    for _, docs in sizes:
+        u = np.sort(docs.unique())
+        if len(u) < 2:
+            continue
+        if len(u) > 200:  # skew guard: degenerate key (e.g. empty docs)
+            u = u[:200]
+        ai, bi = np.triu_indices(len(u), k=1)
+        out_a.append(u[ai])
+        out_b.append(u[bi])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
 def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
-                            ngram: int = 3, concurrency: int | None = None):
+                            ngram: int = 3, concurrency: int | None = None,
+                            n_buckets: int = 128):
     """Dataset[(a, b)] of LSH candidate pairs (a < b, distinct)."""
     sig = ds.map_batches(
         MinHashStage,
@@ -146,8 +160,17 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
         concurrency=concurrency or 4,
         num_cpus=1,
     ).select_columns(["doc_id", "band", "band_key"])
-    pairs = sig.groupby(["band", "band_key"]).map_groups(
-        _pairs_from_band, batch_format="pandas"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = [f"{b}:{k}" for b, k in zip(t.column("band").to_pylist(),
+                                           t.column("band_key").to_pylist())]
+        h = pd.util.hash_array(np.asarray(keys, dtype=object), categorize=False)
+        return t.append_column("bucket", pa.array((h % n_buckets).astype(np.int32)))
+
+    pairs = (
+        sig.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs_in_bucket, batch_format="pandas")
     )
     # distinct pairs (a,b may surface from multiple bands)
     from ray.data.aggregate import Count
@@ -186,19 +209,36 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     need = np.unique(np.concatenate([pairs["a"].values, pairs["b"].values]))
     need_set = set(int(x) for x in need)
 
-    def filter_needed(batch: pa.Table) -> pa.Table:
-        mask = pa.array([int(i) in need_set for i in batch.column("doc_id").to_pylist()])
-        return batch.filter(mask).select(["doc_id", "text"])
+    def shingles_needed(batch: pa.Table) -> pa.Table:
+        """Shingle each candidate doc ONCE (docs recur across many pairs)."""
+        ids, blobs = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if int(i) in need_set:
+                ids.append(int(i))
+                blobs.append(_word_ngrams(t or "", ngram).tobytes())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sh": pa.array(blobs, pa.binary())})
 
-    texts_tbl = ds.map_batches(filter_needed, batch_format="pyarrow").to_pandas()
-    texts = dict(zip(texts_tbl["doc_id"].astype(int), texts_tbl["text"]))
-    texts_ref = ray.put(texts)
+    sh_tbl = ds.map_batches(shingles_needed, batch_format="pyarrow").to_pandas()
+    shingles = {
+        int(i): np.frombuffer(b, np.uint64)
+        for i, b in zip(sh_tbl["doc_id"], sh_tbl["sh"])
+    }
+    sh_ref = ray.put(shingles)
 
     def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
+        sh = ray.get(sh_ref)
         rows = {"a": [], "b": [], "jaccard": []}
+        empty = np.zeros(0, np.uint64)
         for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            j = jaccard(tx.get(int(a), "") or "", tx.get(int(b), "") or "", ngram)
+            sa, sb = sh.get(int(a), empty), sh.get(int(b), empty)
+            if len(sa) == 0 and len(sb) == 0:
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 0.0
             if j >= threshold:
                 rows["a"].append(int(a))
                 rows["b"].append(int(b))
@@ -209,7 +249,10 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
 
     import ray.data as rd
 
-    return rd.from_pandas(pairs).map_batches(verify, batch_format="pyarrow")
+    nblocks = max(4, min(64, len(pairs) // 64 + 1))
+    return rd.from_pandas(pairs).repartition(nblocks).map_batches(
+        verify, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -259,21 +302,39 @@ def simhash_near_pairs(ds, max_hamming: int = 3, prefix_bits: int = 16):
                          "key": pa.array(rows["key"], pa.int32()),
                          "simhash": pa.array(rows["simhash"], pa.int64())})
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2 or len(g) > 200:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ids = g["doc_id"].values
-        sh = g["simhash"].values.astype(np.int64).astype(np.uint64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = sh[ai] ^ sh[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+    def pairs_in_coarse_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized fine groupby within a coarse bucket (see minhash note)."""
+        out = []
+        for _, sub in g.groupby(["band", "key"]):
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(sub) < 2 or len(sub) > 200:
+                continue
+            ids = sub["doc_id"].values
+            sh = sub["simhash"].values.astype(np.int64).astype(np.uint64)
+            ai, bi = np.triu_indices(len(ids), k=1)
+            x = sh[ai] ^ sh[bi]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                                         "hamming": ham[keep]}))
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.asarray(t.column("band"), dtype=np.int64)
+        k = np.asarray(t.column("key"), dtype=np.int64)
+        return t.append_column(
+            "bucket", pa.array(((b * 65537 + k) % 128).astype(np.int32))
+        )
 
     sig = ds.map_batches(simhash_batch, batch_format="pyarrow")
     pairs = sig.map_batches(explode, batch_format="pyarrow") \
-               .groupby(["band", "key"]).map_groups(pairs_in_bucket, batch_format="pandas")
+               .map_batches(add_bucket, batch_format="pyarrow") \
+               .groupby("bucket").map_groups(pairs_in_coarse_bucket, batch_format="pandas")
     from ray.data.aggregate import Min
 
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

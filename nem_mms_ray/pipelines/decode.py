@@ -82,30 +82,55 @@ class VerifyPartitions:
         return pa.Table.from_pylist(out)
 
 
+_WORKER_VERIFIERS: dict = {}
+
+
+def _verify_task(batch: pa.Table, *, out_dir: str, columns_key: tuple | None) -> pa.Table:
+    key = (out_dir, columns_key)
+    stage = _WORKER_VERIFIERS.get(key)
+    if stage is None:
+        stage = VerifyPartitions(out_dir, list(columns_key) if columns_key else None)
+        _WORKER_VERIFIERS[key] = stage
+    return stage(batch)
+
+
 def verify_files(
     input_paths: list[str | Path],
     out_dir: str | Path,
     columns: list[str] | None = None,
     target_bytes: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    use_actors: bool = False,
 ):
-    """Round-trip verification as a Ray pipeline over the encode's partitioning."""
+    """Round-trip verification as a Ray pipeline over the encode's partitioning.
+
+    Task mode by default for the same reason as encode_files (see there).
+    """
+    import functools
+
     import ray.data as rd
 
     from nem_mms_ray.pipelines.encode import DEFAULT_TARGET_BYTES, plan_partitions
 
     specs = plan_partitions(input_paths, target_bytes or DEFAULT_TARGET_BYTES)
-    if concurrency is None:
+    ds = rd.from_items([s.to_row() for s in specs], override_num_blocks=len(specs))
+    if use_actors:
         import ray
 
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, min(len(specs), ncpu))
-    ds = rd.from_items([s.to_row() for s in specs])
-    return ds.map_batches(
-        VerifyPartitions,
-        fn_constructor_kwargs={"out_dir": str(out_dir), "columns": columns},
-        batch_size=1,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
+        if concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = max(2, min(len(specs), ncpu))
+        return ds.map_batches(
+            VerifyPartitions,
+            fn_constructor_kwargs={"out_dir": str(out_dir), "columns": columns},
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    fn = functools.partial(
+        _verify_task,
+        out_dir=str(out_dir),
+        columns_key=tuple(columns) if columns else None,
     )
+    return ds.map_batches(fn, batch_size=1, batch_format="pyarrow", num_cpus=1)

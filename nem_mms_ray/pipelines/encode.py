@@ -198,6 +198,9 @@ class EncodePartitions:
 
     def _encode_partition(self, spec: PartitionSpec) -> PartitionResult:
         t0 = time.monotonic()
+        # re-create defensively: cached worker-level instances may outlive an
+        # out_dir that the driver removed between runs
+        self.out_dir.mkdir(parents=True, exist_ok=True)
         out_path = self.out_dir / f"part-{spec.pid:06d}.parquet"
         if self.manifest.is_done(spec.pid):
             return PartitionResult(pid=spec.pid, skipped=True)
@@ -288,32 +291,66 @@ class EncodePartitions:
         return pa.Table.from_pylist(results)
 
 
+# Per-worker cache for task-mode encoders: a Ray task wave reuses warm worker
+# processes, so the instance (and its imports) amortizes across tasks exactly
+# like an actor would — without the actor-pool operator's fixed ramp-up cost
+# (measured ~3s per pipeline on this Ray version vs ~0.1s for task pools).
+_WORKER_STAGES: dict = {}
+
+
+def _encode_task(batch: pa.Table, *, out_dir: str, columns_key: tuple | None) -> pa.Table:
+    key = ("enc", out_dir, columns_key)
+    stage = _WORKER_STAGES.get(key)
+    if stage is None:
+        stage = EncodePartitions(out_dir, list(columns_key) if columns_key else None)
+        _WORKER_STAGES[key] = stage
+    return stage(batch)
+
+
 def encode_files(
     input_paths: list[str | Path],
     out_dir: str | Path,
     columns: list[str] | None = None,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     concurrency: int | tuple[int, int] | None = None,
+    use_actors: bool = False,
 ):
     """Build the encode pipeline; returns a lazy Dataset of metric rows.
 
     Consume with .to_pandas()/.take_all() (tiny: one row per partition) —
     the heavy data streams worker-side only.
+
+    `use_actors=True` runs the stage as an explicit actor pool; the default
+    task mode keeps identical per-partition-state semantics (plan + FSST
+    tables built once per partition inside the task) while letting Ray's
+    warm worker processes amortize imports — better for short jobs and for
+    elasticity; actor pools win when an actor carries cross-partition state.
     """
+    import functools
+
     import ray.data as rd
 
     specs = plan_partitions(input_paths, target_bytes)
-    if concurrency is None:
+    # one block per spec: from_items packs everything into one block, which
+    # would serialize the whole encode behind a single actor task
+    ds = rd.from_items([s.to_row() for s in specs], override_num_blocks=len(specs))
+    if use_actors:
         import ray
 
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, min(len(specs), ncpu))
-    ds = rd.from_items([s.to_row() for s in specs])
-    return ds.map_batches(
-        EncodePartitions,
-        fn_constructor_kwargs={"out_dir": str(out_dir), "columns": columns},
-        batch_size=1,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
+        if concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = max(2, min(len(specs), ncpu))
+        return ds.map_batches(
+            EncodePartitions,
+            fn_constructor_kwargs={"out_dir": str(out_dir), "columns": columns},
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    fn = functools.partial(
+        _encode_task,
+        out_dir=str(out_dir),
+        columns_key=tuple(columns) if columns else None,
     )
+    return ds.map_batches(fn, batch_size=1, batch_format="pyarrow", num_cpus=1)

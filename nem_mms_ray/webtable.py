@@ -171,6 +171,15 @@ def generate_shard(
     )
 
 
+def _write_shard(shard: int, n: int, start: int, cfg: WebTableConfig,
+                 path: str, row_group_rows: int) -> str:
+    t = generate_shard(shard, n, start, cfg)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp, row_group_size=row_group_rows)
+    Path(tmp).rename(path)
+    return path
+
+
 def write_webtable(
     out_dir: str | Path,
     rows: int,
@@ -178,21 +187,46 @@ def write_webtable(
     cfg: WebTableConfig = WebTableConfig(),
     row_group_rows: int = 4096,
 ) -> list[Path]:
-    """Write the table as shard files web-{i:05d}.parquet; idempotent."""
+    """Write the table as shard files web-{i:05d}.parquet; idempotent.
+
+    Shard generation is rng-keyed on (seed, shard) so output is identical
+    whether shards are written serially or as parallel Ray tasks (used
+    automatically when a Ray session is active).
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    todo = []
     paths = []
     shard = 0
     start = 0
     while start < rows:
         n = min(shard_rows, rows - start)
         p = out / f"web-{shard:05d}.parquet"
-        if not p.exists():
-            t = generate_shard(shard, n, start, cfg)
-            pq.write_table(t, p, row_group_size=row_group_rows)
         paths.append(p)
+        if not p.exists():
+            todo.append((shard, n, start))
         shard += 1
         start += n
+
+    if todo:
+        use_ray = False
+        try:
+            import ray
+
+            use_ray = ray.is_initialized() and len(todo) > 1
+        except ImportError:
+            pass
+        if use_ray:
+            import ray
+
+            fn = ray.remote(num_cpus=1)(_write_shard)
+            ray.get([
+                fn.remote(s, n, st, cfg, str(out / f"web-{s:05d}.parquet"), row_group_rows)
+                for s, n, st in todo
+            ])
+        else:
+            for s, n, st in todo:
+                _write_shard(s, n, st, cfg, str(out / f"web-{s:05d}.parquet"), row_group_rows)
     return paths
 
 
