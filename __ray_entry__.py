@@ -317,6 +317,66 @@ def _media_features_docs(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def _events_running_seq(sf_dir: str):
+    from nem_mms_ray.ops.relational import events_running_seq
+
+    return events_running_seq(_read(sf_dir, "events"))
+
+
+def _event_type_value_stats(sf_dir: str):
+    from nem_mms_ray.ops.relational import event_type_value_stats
+
+    return event_type_value_stats(_read(sf_dir, "events"))
+
+
+def _customers_per_nation(sf_dir: str):
+    from nem_mms_ray.ops.relational import customers_per_nation
+
+    return customers_per_nation(_read(sf_dir, "customer"), _read(sf_dir, "nation"))
+
+
+def _lineitem_revenue(sf_dir: str):
+    from nem_mms_ray.ops.relational import lineitem_revenue
+
+    return lineitem_revenue(_read(sf_dir, "lineitem"))
+
+
+def _embedding_norms(sf_dir: str):
+    def norms(t: pa.Table) -> pa.Table:
+        vs = [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]
+        n = [float(np.floor(np.sqrt((v * v).sum()) * 1e4 + 0.5) / 1e4) for v in vs]
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "norm": pa.array(n, pa.float64())})
+
+    return _read(sf_dir, "embeddings").map_batches(norms, batch_format="pyarrow")
+
+
+def _mms_parse_demo(sf_dir: str):
+    """MMS ingestion demo: deterministic fixture dir -> parse -> summary rows
+    (rows-only; the MMS semantics are pinned by tests/test_mms.py)."""
+    from nem_mms_ray.mms.pipeline import parse_to_parquet
+
+    base = Path("/tmp/nem_mms_ray_q/mms_fixture")
+    shutil.rmtree(base, ignore_errors=True)
+    indir = base / "in"
+    indir.mkdir(parents=True)
+    scada = (
+        "I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE\n"
+        + "".join(
+            f"D,DISPATCH,UNIT_SCADA,1,2021/04/01 {4 + i // 60:02d}:{i % 60:02d}:00,UNIT{i % 7},{i * 1.5}\n"
+            for i in range(200)
+        )
+        + "C,END OF REPORT,202\n"
+    )
+    (indir / "scada.csv").write_text(scada)
+    summary = parse_to_parquet(indir, base / "out")
+    rows = [
+        {"package": pkg, "rows": int(info["rows"])}
+        for pkg, info in sorted(summary["packages"].items())
+    ]
+    return pa.Table.from_pylist(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational breadth (groupby+combiner, broadcast join, top-k, windows)
@@ -325,6 +385,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _top_users,
         "events_per_user_hour": _events_per_user_hour,
         "orders_urgent": _orders_urgent,
+        "events_running_seq": _events_running_seq,
+        "event_type_value_stats": _event_type_value_stats,
+        "customers_per_nation": _customers_per_nation,
+        "lineitem_revenue": _lineitem_revenue,
+        "embedding_norms": _embedding_norms,
+        "mms_parse_demo": _mms_parse_demo,
         # encode-engine analytics (stats, selector, FOR plan)
         "column_stats_docs": _column_stats_docs,
         "selector_decision_docs": _selector_decision_docs,
@@ -374,6 +440,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_urgent": """
             SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "events_running_seq": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+            FROM events
+        """,
+        "event_type_value_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "customers_per_nation": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "lineitem_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) / 10000
+                       AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   floor(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                         * 10000 + 0.5) / 10000 AS norm
+            FROM embeddings
         """,
         "column_stats_docs": """
             SELECT 'lang' AS col, count(*) AS n, count(DISTINCT lang) AS ndv,

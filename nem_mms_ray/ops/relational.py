@@ -125,6 +125,94 @@ def events_per_user_hour(events_ds):
     )
 
 
+def events_running_seq(events_ds):
+    """Per-user running sequence number ordered by (ts, event_id) — the
+    partitioned window-function shape (SQL: row_number() OVER).  Groups fit
+    in memory per user; the shuffle key is user_id."""
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["seq"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["user_id", "event_id", "seq"]]
+
+    return events_ds.groupby("user_id").map_groups(seq, batch_format="pandas")
+
+
+def event_type_value_stats(events_ds):
+    """Per event_type: n, sum/min/max of value (pre-aggregated partials)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("event_id", "size"), sum_value=("value", "sum"),
+            min_value=("value", "min"), max_value=("value", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        for c in ("sum_value", "min_value", "max_value"):
+            df[c] = df[c].round(4)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def customers_per_nation(customers_ds, nation_ds):
+    """Broadcast dimension join (nation is tiny) -> counts per nation name."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nat = nation_ds.to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    ref = ray.put(name_of)
+
+    def join_count(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = [lookup.get(int(k)) for k in batch.column("c_nationkey").to_pylist()]
+        g = pd.Series(names).value_counts().rename_axis("n_name").reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        customers_ds.map_batches(join_count, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("n", alias_name="n_customers"))
+    )
+
+
+def lineitem_revenue(lineitem_ds, before: str = "1996-01-01"):
+    """Vectorized filter + computed column: per-row revenue before a date."""
+    import pyarrow.compute as pc
+
+    cutoff = pa.scalar(np.datetime64(before, "us"), type=pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        raw = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # floor(x*1e4+0.5)/1e4 == DuckDB round-half-away for positive values;
+        # identical double ops on both sides -> bit-identical results
+        v = np.asarray(raw)
+        rev = pa.array(np.floor(v * 1e4 + 0.5) / 1e4)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": rev,
+        })
+
+    return lineitem_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def filter_orders_by_priority(orders_ds, priority: str):
     """Vectorized predicate filter inside map_batches (faster than row filter)."""
     import pyarrow.compute as pc
