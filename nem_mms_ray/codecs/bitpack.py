@@ -104,4 +104,69 @@ class ForBitpackCodec(Codec):
         return dtypes.apply_validity(out, ec.validity)
 
 
+class DeltaBitpackCodec(Codec):
+    """Delta + frame-of-reference-on-deltas + bit-pack (the
+    DELTA_BINARY_PACKED family): ideal for near-monotone sequences like
+    crawl timestamps, where consecutive deltas span a far narrower range
+    than the values themselves.  All arithmetic wraps mod 2^64 so any int64
+    sequence round-trips exactly."""
+
+    name = "delta"
+
+    def can_encode(self, typ: pa.DataType) -> bool:
+        return dtypes.is_int_like(typ)
+
+    def estimate(self, sketch) -> float:
+        if sketch.delta_width is None:
+            return float("inf")
+        return sketch.n * sketch.delta_width / 8 + 48
+
+    def encode(self, arr: pa.Array) -> EncodedColumn:
+        typ = arr.type
+        validity = dtypes.extract_validity(arr)
+        filled = dtypes.fill_nulls(arr)
+        v = _int_values(filled).astype(np.uint64)
+        if len(v):
+            first = int(v[0])
+            deltas = np.diff(v)  # wraps mod 2^64
+            if len(deltas):
+                min_d = int(deltas.min())
+                rel = deltas - np.uint64(min_d)
+                width = bit_width(int(rel.max()))
+            else:
+                min_d, rel, width = 0, np.zeros(0, np.uint64), 0
+        else:
+            first, min_d, rel, width = 0, 0, np.zeros(0, np.uint64), 0
+        return EncodedColumn(
+            codec=self.name,
+            n=len(arr),
+            dtype=dtypes.type_to_str(typ),
+            payload=pack_bits(rel, width),
+            validity=validity,
+            params={"first": first, "min_delta": min_d, "width": width},
+        )
+
+    def decode(self, ec: EncodedColumn) -> pa.Array:
+        typ = dtypes.type_from_str(ec.dtype)
+        n = ec.n
+        if n == 0:
+            vals = np.zeros(0, np.uint64)
+        else:
+            rel = unpack_bits(ec.payload, n - 1, ec.params["width"])
+            deltas = rel + np.uint64(ec.params["min_delta"] & 0xFFFFFFFFFFFFFFFF)
+            vals = np.empty(n, np.uint64)
+            vals[0] = np.uint64(ec.params["first"] & 0xFFFFFFFFFFFFFFFF)
+            if n > 1:
+                np.cumsum(deltas, out=deltas)  # wraps mod 2^64
+                vals[1:] = vals[0] + deltas
+        ivt = dtypes.int_view_type(typ)
+        np_t = np.dtype(str(ivt)) if pa.types.is_integer(ivt) else np.dtype("int64")
+        v = vals.astype(np.int64).astype(np_t) if np_t.kind == "i" else vals.astype(np_t)
+        out = pa.array(v, type=ivt)
+        if not typ.equals(ivt):
+            out = out.view(typ)
+        return dtypes.apply_validity(out, ec.validity)
+
+
 register(ForBitpackCodec())
+register(DeltaBitpackCodec())

@@ -37,6 +37,7 @@ class ColumnSketch:
     int_min: int | None = None
     int_max: int | None = None
     max_len: int = 0              # longest string/binary value
+    delta_width: int | None = None  # bits for (delta - min_delta); int-like only
     kmv: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
     fsst_ratio: float | None = None   # measured sample compression ratio
 
@@ -71,6 +72,7 @@ class ColumnSketch:
             "int_min": self.int_min,
             "int_max": self.int_max,
             "max_len": self.max_len,
+            "delta_width": self.delta_width,
             "kmv": self.kmv.tobytes(),
             "fsst_ratio": self.fsst_ratio,
         }
@@ -85,6 +87,8 @@ class ColumnSketch:
         sk.int_min = None if row["int_min"] is None else int(row["int_min"])
         sk.int_max = None if row["int_max"] is None else int(row["int_max"])
         sk.max_len = int(row["max_len"])
+        dw = row.get("delta_width") if isinstance(row, dict) else row["delta_width"]
+        sk.delta_width = None if dw is None or (isinstance(dw, float) and np.isnan(dw)) else int(dw)
         sk.kmv = np.frombuffer(bytes(row["kmv"]), np.uint64).copy()
         fr = row["fsst_ratio"]
         sk.fsst_ratio = None if fr is None or (isinstance(fr, float) and np.isnan(fr)) else float(fr)
@@ -137,6 +141,15 @@ def sketch_array(column: str, arr: pa.Array, with_fsst_probe: bool = True) -> Co
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         sk.int_min = None if mn is None else int(mn)
         sk.int_max = None if mx is None else int(mx)
+        dense = np.asarray(dtypes.fill_nulls(iv)).astype(np.uint64)
+        if len(dense) > 1:
+            d = np.diff(dense)
+            rel = d - d.min()
+            from nem_mms_ray.codecs.bitpack import bit_width
+
+            sk.delta_width = bit_width(int(rel.max()))
+        else:
+            sk.delta_width = 0
 
     sk.run_count = _run_count(arr)
 
@@ -167,6 +180,8 @@ def merge_sketches(parts: list[ColumnSketch]) -> ColumnSketch:
         out.value_bytes += p.value_bytes
         out.run_count += p.run_count
         out.max_len = max(out.max_len, p.max_len)
+        if p.delta_width is not None:
+            out.delta_width = p.delta_width if out.delta_width is None else max(out.delta_width, p.delta_width)
         if p.int_min is not None:
             out.int_min = p.int_min if out.int_min is None else min(out.int_min, p.int_min)
         if p.int_max is not None:

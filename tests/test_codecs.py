@@ -75,7 +75,7 @@ def _roundtrip(codec_name, arr):
     assert out.null_count == arr.null_count
 
 
-@pytest.mark.parametrize("codec", ["plain", "for", "dict", "rle"])
+@pytest.mark.parametrize("codec", ["plain", "for", "delta", "dict", "rle"])
 @pytest.mark.parametrize("i", range(len(INT_ARRAYS)))
 def test_int_roundtrip(codec, i):
     _roundtrip(codec, INT_ARRAYS[i])

@@ -1,0 +1,49 @@
+"""Property-based round-trip tests (SURVEY.md §5 plan item 5)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from nem_mms_ray.codecs import decode_column, get_codec
+
+ints = st.lists(
+    st.one_of(st.integers(min_value=-(2**63), max_value=2**63 - 1), st.none()),
+    max_size=200,
+)
+texts = st.lists(st.one_of(st.text(max_size=40), st.none()), max_size=150)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=ints, codec=st.sampled_from(["plain", "for", "delta", "dict", "rle"]))
+def test_int_roundtrip_property(vals, codec):
+    arr = pa.array(vals, type=pa.int64())
+    out = decode_column(get_codec(codec).encode(arr))
+    assert out.equals(arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=texts, codec=st.sampled_from(["plain", "dict", "rle", "fsst"]))
+def test_string_roundtrip_property(vals, codec):
+    arr = pa.array(vals, type=pa.string())
+    out = decode_column(get_codec(codec).encode(arr))
+    assert out.equals(arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(st.binary(max_size=60), max_size=100))
+def test_fsst_binary_roundtrip_property(vals):
+    arr = pa.array(vals, type=pa.binary())
+    out = decode_column(get_codec("fsst").encode(arr))
+    assert out.equals(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(max_size=3000))
+def test_fsst_stream_property(data):
+    from nem_mms_ray.codecs import _fsst_native as native
+    from nem_mms_ray.codecs.fsst import train_symbols
+
+    syms = train_symbols(data) if data else (np.zeros((0, 8), np.uint8), np.zeros(0, np.uint8))
+    enc = native.encode(*syms, data)
+    assert native.decode(*syms, enc, len(data)) == data
+    assert native._py_encode(*syms, data) == enc

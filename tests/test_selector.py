@@ -15,10 +15,17 @@ def test_low_cardinality_string_gets_dict():
     assert plan.codec == "dict"
 
 
-def test_clustered_timestamps_get_for():
+def test_clustered_timestamps_get_delta_or_for():
     ts = pa.array(np.arange(20000) * 250_000 + 1_700_000_000_000_000, type=pa.timestamp("us"))
     plan = select_codec(sketch_array("warc_ts", ts))
-    assert plan.codec == "for"
+    assert plan.codec == "delta"  # constant step -> delta beats FOR outright
+
+
+def test_random_ints_get_for_not_delta():
+    rng = np.random.default_rng(9)
+    v = pa.array(rng.integers(0, 1000, 20000))
+    plan = select_codec(sketch_array("x", v, with_fsst_probe=False))
+    assert plan.codec in ("for", "dict")  # unordered: deltas span the range
 
 
 def test_high_entropy_text_gets_fsst():
@@ -70,7 +77,7 @@ def test_webtable_plan_matches_north_star(tmp_path):
     t = generate_shard(0, 2000, 0, SMALL)
     plan = {c: p.codec for c, p in plan_for_table(t).items()}
     assert plan["lang"] == "dict"
-    assert plan["warc_ts"] == "for"
+    assert plan["warc_ts"] in ("delta", "for")
     assert plan["url"] == "fsst"
     assert plan["text"] == "fsst"
     assert plan["html"] == "fsst"
