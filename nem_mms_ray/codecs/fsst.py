@@ -40,15 +40,29 @@ def take_sample(data: bytes, cap: int = TRAIN_SAMPLE_BYTES) -> bytes:
     return np.concatenate(parts).tobytes()
 
 
-def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic symbol-table training: rank 1..8-grams by saved bytes.
+def train_symbols(
+    sample: bytes,
+    max_symbols: int = MAX_SYMBOLS,
+    generations: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multi-generation training (FSST paper: iterate, counting
+    on the previous generation's code boundaries and merging adjacent
+    symbols).  Generation 1 ranks raw 1..8-grams; each later generation
+    encodes the sample with the current table and re-ranks {existing symbols
+    by realized usage} ∪ {concatenations of adjacent code pairs} ∪ {escaped
+    bytes}.  All ties break on (length, value) so any parallelism level
+    builds the identical table from the same sample (SURVEY.md §7.4)."""
+    table = _train_gen1(sample, max_symbols)
+    for _ in range(max(0, generations - 1)):
+        refined = _refine(sample, table, max_symbols)
+        if refined is None:
+            break
+        table = refined
+    return table
 
-    Returns (sym_bytes (n,8) uint8 left-justified, sym_lens (n,) uint8).
-    Candidate gain: count * (len-1) for multigrams (bytes saved vs coded
-    singles), count * 1 for single bytes (coded vs escaped).  Ties broken by
-    (length, value) so N-cpu and 4N-cpu runs build identical tables from the
-    same sample (SURVEY.md §7.4 determinism requirement).
-    """
+
+def _train_gen1(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> tuple[np.ndarray, np.ndarray]:
+    """Generation-1 candidate ranking over raw grams."""
     sample = take_sample(sample)
     arr = np.frombuffer(sample, np.uint8)
     cand_gain: list[np.ndarray] = []
@@ -93,6 +107,101 @@ def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> tuple[np.nda
     valid = shifts >= 0
     sym_bytes[valid] = ((vals[:, None] >> np.where(valid, shifts, 0).astype(np.uint64)) & np.uint64(0xFF))[valid]
     return sym_bytes, lens.astype(np.uint8)
+
+
+def _item_sequence(enc: np.ndarray, sym_vals: np.ndarray, sym_lens_i: np.ndarray):
+    """Decode an encoded stream into its item sequence (vals, lens) where an
+    item is either a symbol code or an escaped literal byte.
+
+    The escape parse is inherently sequential (a literal may itself be 0xFF)
+    but vectorizes via run-parity: inside each maximal run of 0xFF bytes
+    that starts at an item boundary, even offsets are escapes and odd
+    offsets are their literals; the byte after an odd-length run is also a
+    literal.
+    """
+    n = len(enc)
+    is_ff = enc == np.uint8(native.ESCAPE)
+    literal = np.zeros(n, bool)
+    if is_ff.any():
+        # starts of maximal 0xFF runs
+        d = np.diff(is_ff.astype(np.int8), prepend=0)
+        run_starts = np.flatnonzero(d == 1)
+        run_ends = np.flatnonzero(np.diff(is_ff.astype(np.int8), append=0) == -1)
+        for s, e in zip(run_starts, run_ends):  # runs are rare; loop is small
+            k = e - s + 1
+            # within run: s+1, s+3, ... are literals
+            literal[s + 1 : e + 1 : 2] = True
+            if k % 2 == 1 and e + 1 < n:  # trailing escape consumes next byte
+                literal[e + 1] = True
+    items = ~literal
+    codes = enc[items]
+    esc = codes == np.uint8(native.ESCAPE)
+    # literal byte following each escape item
+    item_pos = np.flatnonzero(items)
+    lit_vals = np.zeros(len(codes), np.uint64)
+    if esc.any():
+        nxt = item_pos[esc] + 1
+        nxt = np.clip(nxt, 0, n - 1)
+        lit_vals[esc] = enc[nxt].astype(np.uint64)
+    vals = np.where(esc, lit_vals, sym_vals[np.minimum(codes, len(sym_vals) - 1)])
+    lens = np.where(esc, 1, sym_lens_i[np.minimum(codes, len(sym_lens_i) - 1)])
+    return vals.astype(np.uint64), lens.astype(np.int64), esc
+
+
+def _refine(sample: bytes, table, max_symbols: int):
+    """One refinement generation: re-rank on realized usage + merged pairs."""
+    sym_bytes, sym_lens = table
+    if len(sym_lens) == 0 or len(sample) == 0:
+        return None
+    sample = take_sample(sample)
+    enc = np.frombuffer(native.encode(sym_bytes, sym_lens, sample), np.uint8)
+    if len(enc) == 0:
+        return None
+    # big-endian packed value of each symbol
+    shifts = (sym_lens.astype(np.int64)[:, None] - 1 - np.arange(8)[None, :]) * 8
+    valid = shifts >= 0
+    sym_vals = (
+        (sym_bytes.astype(np.uint64) << np.where(valid, shifts, 0).astype(np.uint64))
+        * valid
+    ).sum(axis=1, dtype=np.uint64)
+    vals, lens, esc = _item_sequence(enc, sym_vals, sym_lens.astype(np.int64))
+
+    rec = np.empty(len(vals), dtype=[("v", "u8"), ("l", "i8")])
+    rec["v"], rec["l"] = vals, lens
+    # existing symbols + escaped bytes by realized usage
+    u1, c1 = np.unique(rec, return_counts=True)
+    gain1 = c1 * np.maximum(1, u1["l"] - 1)
+    gain1 = np.where(u1["l"] == 1, c1, gain1)  # single byte: 1 saved vs escape
+    # adjacent pairs with combined length <= 8
+    pv = (vals[:-1] << (np.uint64(8) * lens[1:].astype(np.uint64))) | vals[1:]
+    pl = lens[:-1] + lens[1:]
+    ok = pl <= 8
+    rec2 = np.empty(int(ok.sum()), dtype=rec.dtype)
+    rec2["v"], rec2["l"] = pv[ok], pl[ok]
+    u2, c2 = np.unique(rec2, return_counts=True)
+    gain2 = c2  # one output byte saved per merged pair occurrence
+    keep2 = gain2 >= 4
+    u2, gain2 = u2[keep2], gain2[keep2]
+
+    allu = np.concatenate([u1, u2])
+    allg = np.concatenate([gain1, gain2])
+    # dedupe (a pair may equal an existing symbol): keep max gain per item
+    order = np.lexsort((-allg, allu["l"], allu["v"]))
+    allu, allg = allu[order], allg[order]
+    first = np.ones(len(allu), bool)
+    first[1:] = (allu["v"][1:] != allu["v"][:-1]) | (allu["l"][1:] != allu["l"][:-1])
+    allu, allg = allu[first], allg[first]
+
+    pick = np.lexsort((allu["v"], allu["l"], -allg))[:max_symbols]
+    sel = allu[pick]
+    n_sym = len(sel)
+    out_bytes = np.zeros((n_sym, 8), np.uint8)
+    out_lens = sel["l"].astype(np.uint8)
+    sh = (sel["l"][:, None] - 1 - np.arange(8)[None, :]) * 8
+    ok_sh = sh >= 0
+    out_bytes[ok_sh] = ((sel["v"][:, None] >> np.where(ok_sh, sh, 0).astype(np.uint64))
+                        & np.uint64(0xFF))[ok_sh]
+    return out_bytes, out_lens
 
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:

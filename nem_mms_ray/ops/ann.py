@@ -20,6 +20,12 @@ def _to_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
 
 
+def _pool(want: int = 4) -> int:
+    from nem_mms_ray.stages.encode_stage import default_pool_size
+
+    return default_pool_size(want)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -62,7 +68,7 @@ class BruteForceTopK:
 
 
 def topk_cosine(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding",
-                id_col: str = "vec_id", concurrency: int = 4) -> pd.DataFrame:
+                id_col: str = "vec_id", concurrency: int | None = None) -> pd.DataFrame:
     """Exact top-k via per-batch candidates + driver merge (tiny result).
 
     Returns a DataFrame (query_idx, id, cosine, rank) sorted deterministically
@@ -76,7 +82,7 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding"
         fn_constructor_kwargs={"queries_ref": qref, "k": k,
                                "vec_col": vec_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or _pool(),
         num_cpus=1,
     ).to_pandas()
     out = []
@@ -111,7 +117,7 @@ def build_ivf_centroids(ds, n_centroids: int, vec_col: str = "embedding",
 
 def ivf_topk_cosine(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
                     nprobe: int = 4, vec_col: str = "embedding",
-                    id_col: str = "vec_id", concurrency: int = 4) -> pd.DataFrame:
+                    id_col: str = "vec_id", concurrency: int | None = None) -> pd.DataFrame:
     """IVF-style ANN: rows route to their nearest centroid's list; each query
     searches only its nprobe closest lists.  Recall < 1.0 by design; the
     brute-force path is the correctness oracle."""
@@ -159,7 +165,7 @@ def ivf_topk_cosine(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
                              "cosine": pa.array(rows["cosine"], pa.float64())})
 
     cands = ds.map_batches(ProbeSearch, batch_format="pyarrow",
-                           concurrency=concurrency, num_cpus=1).to_pandas()
+                           concurrency=concurrency or _pool(), num_cpus=1).to_pandas()
     out = []
     for qi, g in cands.groupby("query_idx"):
         g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)

@@ -24,6 +24,12 @@ import pyarrow as pa
 _P61 = np.uint64((1 << 61) - 1)  # Mersenne prime for minhash permutations
 
 
+def _pool(want: int = 4) -> int:
+    from nem_mms_ray.stages.encode_stage import default_pool_size
+
+    return default_pool_size(want)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -157,7 +163,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram},
         batch_format="pyarrow",
-        concurrency=concurrency or 4,
+        concurrency=concurrency or _pool(),
         num_cpus=1,
     ).select_columns(["doc_id", "band", "band_key"])
 
