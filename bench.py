@@ -135,13 +135,21 @@ def run_bench() -> dict:
     import ray.data as rd
 
     t0 = time.monotonic()
+    import pyarrow as _pa
+
+    lang_id = LangId()  # stateless-enough to fuse; one read, one pass
+
+    def fused_text(batch: _pa.Table) -> _pa.Table:
+        ts = token_stats_batch(batch)
+        q = quality_score_batch(batch)
+        li = lang_id(batch)
+        return (
+            ts.append_column("quality", q.column("quality"))
+            .append_column("lang_pred", li.column("lang_pred"))
+        )
+
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
-    n = docs.map_batches(token_stats_batch, batch_format="pyarrow") \
-            .map_batches(lambda t: t, batch_format="pyarrow").count()
-    docs2 = rd.read_parquet(f"{SF_DIR}/documents.parquet")
-    docs2.map_batches(quality_score_batch, batch_format="pyarrow").count()
-    docs3 = rd.read_parquet(f"{SF_DIR}/documents.parquet")
-    docs3.map_batches(LangId, batch_format="pyarrow", concurrency=4, num_cpus=1).count()
+    n = docs.map_batches(fused_text, batch_format="pyarrow", batch_size=1024).count()
     queries["text_pipeline"] = round(time.monotonic() - t0, 3)
     extras["text_docs"] = n
 
