@@ -207,6 +207,14 @@ def _for_plan_events(sf_dir: str):
     )
 
 
+def _embedding_pairs_exact(sf_dir: str):
+    """Brute-force all-pairs cosine >= 0.4 (exact; the DuckDB-checkable
+    baseline for the LSH near-dup scale path)."""
+    from nem_mms_ray.ops.ann import cosine_pairs_exact
+
+    return cosine_pairs_exact(_read(sf_dir, "embeddings"), threshold=0.4)
+
+
 def _ann_topk(sf_dir: str):
     from nem_mms_ray.ops.ann import topk_cosine
 
@@ -407,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": _simhash_docs,
         "embedding_near_pairs": _embedding_near_pairs,
         # similarity search
+        "embedding_pairs_exact": _embedding_pairs_exact,
         "ann_topk": _ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
         # flagship encode + multimodal plumbing
@@ -540,6 +549,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT md5(coalesce(text, '')) AS fp, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(coalesce(text, ''))
+        """,
+        "embedding_pairs_exact": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

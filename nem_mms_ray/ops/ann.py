@@ -95,6 +95,58 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding"
     return res[["query_idx", id_col, "cosine", "rank"]]
 
 
+class _AllPairsStage:
+    """Actor-pool stage: each batch's rows vs the broadcast full matrix."""
+
+    def __init__(self, ref, threshold: float, vec_col: str, id_col: str):
+        import ray
+
+        self.all_ids, self.all_mn = ray.get(ref)
+        self.threshold = threshold
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col))
+        m = _normalize(_to_matrix(batch.column(self.vec_col)))
+        sims = m @ self.all_mn.T  # (batch, n_all)
+        mask = (sims >= self.threshold) & (ids[:, None] < self.all_ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pa.table(
+            {
+                "a": pa.array(ids[ai], pa.int64()),
+                "b": pa.array(self.all_ids[bi], pa.int64()),
+                "cosine": pa.array(np.round(sims[ai, bi], 6), pa.float64()),
+            }
+        )
+
+
+def cosine_pairs_exact(ds, threshold: float, vec_col: str = "embedding",
+                       id_col: str = "vec_id", concurrency: int | None = None):
+    """Exact all-pairs cosine >= threshold: Dataset[(a, b, cosine)], a < b.
+
+    The brute-force O(n^2) baseline (and DuckDB-oracle target) for the LSH
+    scale path (`dedup.embedding_near_pairs`): the normalized matrix is
+    built in one pass, broadcast once via ray.put, and every batch compares
+    its rows against it — no shuffle.  Suitable when n_vectors x dim fits a
+    worker's heap; beyond that, use the LSH variant.
+    """
+    import ray
+
+    side = ds.select_columns([id_col, vec_col]).to_pandas()
+    all_ids = side[id_col].to_numpy(np.int64)
+    all_mn = _normalize(np.stack([np.asarray(v, np.float64) for v in side[vec_col]]))
+    ref = ray.put((all_ids, all_mn))
+    return ds.map_batches(
+        _AllPairsStage,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold,
+                               "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or _pool(),
+        num_cpus=1,
+    )
+
+
 def build_ivf_centroids(ds, n_centroids: int, vec_col: str = "embedding",
                         sample_rows: int = 2048, seed: int = 42,
                         iters: int = 5) -> np.ndarray:

@@ -351,41 +351,69 @@ def simhash_near_pairs(ds, max_hamming: int = 3, prefix_bits: int = 16):
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 42,
-                         vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Cosine near-dup via random-hyperplane LSH buckets + in-bucket verify.
+def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
+                         n_tables: int = 4, seed: int = 42,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         n_buckets: int = 128):
+    """Cosine near-dup via multi-table random-hyperplane LSH + in-bucket verify.
 
-    Scale path: docs land in 2^n_planes sign buckets (near-identical vectors
-    share buckets with high probability); exact cosine check within buckets
-    only.  Deterministic: planes from a fixed seed.
+    Scale path (exact baseline: `ann.cosine_pairs_exact`): each vector lands
+    in one sign bucket per table; vectors sharing a bucket in ANY of the
+    `n_tables` tables are candidates, verified by exact cosine.  One table of
+    b planes misses a near-identical pair with prob ~1-(1-theta/pi)^b (~10%
+    at b=12); OR-ing L independent tables drives the miss rate to that to the
+    Lth power.  Deterministic: planes from a fixed seed; fine buckets hash
+    into `n_buckets` coarse Ray groups so per-group task overhead stays flat
+    (see `_pairs_in_bucket`).
     """
+    from ray.data.aggregate import Min
+
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.stack([np.asarray(v, np.float64) for v in batch.column(vec_col).to_pylist()])
         dim = vecs.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-        signs = (vecs @ planes) >= 0
-        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-        return pa.table({id_col: batch.column(id_col),
-                         "bucket": pa.array(keys),
-                         vec_col: batch.column(vec_col)})
+        planes = np.random.default_rng(seed).standard_normal((n_tables, dim, n_planes))
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        out_id, out_key, out_vec = [], [], []
+        pylist = batch.column(vec_col).to_pylist()
+        for t in range(n_tables):
+            signs = (vecs @ planes[t]) >= 0
+            keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+            out_id.append(ids)
+            out_key.append(keys + (t << n_planes))  # fine key: (table, bucket)
+            out_vec.extend(pylist)
+        return pa.table({id_col: pa.array(np.concatenate(out_id)),
+                         "key": pa.array(np.concatenate(out_key)),
+                         vec_col: pa.array(out_vec, type=batch.column(vec_col).type),
+                         "bucket": pa.array((np.concatenate(out_key)
+                                             % n_buckets).astype(np.int32))})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        if len(g) < 2 or len(g) > 500:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        ids = g[id_col].values
-        m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1
-        mn = m / norms
-        sim = mn @ mn.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        keep = sim[ai, bi] >= threshold
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
-                             "cosine": np.round(sim[ai, bi][keep], 6)})
+        """All fine buckets inside one coarse group, vectorized per bucket."""
+        out = []
+        for _, sub in g.groupby("key"):
+            sub = sub.sort_values(id_col)
+            if len(sub) < 2 or len(sub) > 500:  # skew guard: degenerate bucket
+                continue
+            ids = sub[id_col].values
+            m = np.stack([np.asarray(v, np.float64) for v in sub[vec_col]])
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1
+            sim = (m / norms) @ (m / norms).T
+            ai, bi = np.triu_indices(len(ids), k=1)
+            keep = sim[ai, bi] >= threshold
+            if keep.any():
+                out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                                         "cosine": np.round(sim[ai, bi][keep], 6)}))
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
 
-    return (
+    pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
+    # a pair can surface from several tables: dedupe (cosine identical)
+    return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))

@@ -92,6 +92,37 @@ def test_embedding_near_pairs(ray_session):
     assert (3, 7) in got
 
 
+def test_cosine_pairs_exact_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.ann import cosine_pairs_exact
+    from nem_mms_ray.ops.dedup import embedding_near_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 16))
+    vecs[9] = vecs[4] + rng.standard_normal(16) * 0.01  # planted near-dup
+    df = pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    thr = 0.6
+    got = cosine_pairs_exact(rd.from_pandas(df), threshold=thr).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+
+    m = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = mn @ mn.T
+    ai, bi = np.triu_indices(len(m), k=1)
+    expect = {(int(a), int(b)) for a, b in zip(ai[sim[ai, bi] >= thr], bi[sim[ai, bi] >= thr])}
+    assert got_pairs == expect
+    assert (4, 9) in got_pairs
+    # LSH scale path finds only true pairs (subset of the exact baseline)
+    lsh = embedding_near_pairs(rd.from_pandas(df), threshold=thr).to_pandas()
+    lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh["a"], lsh["b"])}
+    assert lsh_pairs <= got_pairs
+    assert (4, 9) in lsh_pairs
+
+
 def test_ann_matches_numpy_bruteforce(ray_session):
     import ray.data as rd
 
