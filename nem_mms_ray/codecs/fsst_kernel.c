@@ -21,6 +21,9 @@ typedef struct {
     uint16_t codes[7][HCAP];
     uint8_t used[7][HCAP];
     uint8_t has_len;
+    /* bit (len-2) set iff some symbol of that len starts with this byte:
+     * prunes the per-position probe loop to lengths that can match at all */
+    uint8_t first_len_mask[256];
     int max_len;
 } SymTable;
 
@@ -52,6 +55,7 @@ static void build_table(SymTable *t, const uint8_t *sym_bytes,
         t->keys[li][h] = key;
         t->codes[li][h] = (uint16_t)s;
         t->has_len |= (uint8_t)(1 << li);
+        t->first_len_mask[p[0]] |= (uint8_t)(1 << li);
         if (len > t->max_len) t->max_len = len;
     }
 }
@@ -77,18 +81,26 @@ long fsst_encode(const uint8_t *sym_bytes, const uint8_t *sym_lens, int n_sym,
         long rem = n - i;
         int maxl = t.max_len < rem ? t.max_len : (int)rem;
         int code = -1, mlen = 1;
-        uint64_t key = 0;
         const uint8_t *p = in + i;
-        /* incremental prefix values: build up once, probe longest first */
-        uint64_t pv[9];
-        for (int len = 2; len <= maxl; len++) {
-            if (len == 2) key = ((uint64_t)p[0] << 8) | p[1];
-            else key = (key << 8) | p[len - 1];
-            pv[len] = key;
-        }
-        for (int len = maxl; len >= 2; len--) {
-            int c = lookup(&t, len, pv[len]);
-            if (c >= 0) { code = c; mlen = len; break; }
+        /* candidate lengths = lengths of symbols starting with p[0], capped
+         * by rem; typically 0-2 bits set, so most positions hash 0-2 times */
+        uint8_t m = (maxl >= 2)
+            ? (uint8_t)(t.first_len_mask[p[0]] & ((1u << (maxl - 1)) - 1u))
+            : 0;
+        if (m) {
+            int toplen = 31 - __builtin_clz(m) + 2;
+            uint64_t key = ((uint64_t)p[0] << 8) | p[1];
+            uint64_t pv[9];
+            pv[2] = key;
+            for (int len = 3; len <= toplen; len++) {
+                key = (key << 8) | p[len - 1];
+                pv[len] = key;
+            }
+            for (int len = toplen; len >= 2; len--) {
+                if (!(m & (1u << (len - 2)))) continue;
+                int c = lookup(&t, len, pv[len]);
+                if (c >= 0) { code = c; mlen = len; break; }
+            }
         }
         if (code < 0) {
             uint16_t c1 = t.byte_code[p[0]];
