@@ -37,7 +37,19 @@ def webtable_rows(sf: float, mult: int = 1) -> int:
     return max(5_000, int(sf * 1_200_000)) * mult
 
 SCALING_MULT = int(os.environ.get("NEM_MMS_SCALING_MULT", "4"))
-ENCODE_TARGET_BYTES = int(os.environ.get("NEM_MMS_TARGET_BYTES", str(32 << 20)))
+# 64 MiB partitions: amortizes the ~0.2s per-partition plan (sketch + FSST
+# training) to <10% while keeping partition count >> CPUs at every level
+ENCODE_TARGET_BYTES = int(os.environ.get("NEM_MMS_TARGET_BYTES", str(64 << 20)))
+
+# Scratch output on tmpfs when available: this sandbox's /tmp disk writes
+# back at ~20 MB/s, which would meter the encode measurement by writeback
+# throttling rather than compute (a real deployment writes to object
+# storage / a distributed FS, not one local disk).
+_SHM = Path("/dev/shm")
+BENCH_OUT = Path(os.environ.get(
+    "NEM_MMS_BENCH_OUT",
+    str((_SHM if _SHM.is_dir() else Path("/tmp")) / "nem_mms_bench"),
+))
 ONLY = set(filter(None, os.environ.get("NEM_MMS_BENCH_ONLY", "").split(",")))
 
 
@@ -94,7 +106,7 @@ def run_bench() -> dict:
     ray.get([_warm.remote() for _ in range(NUM_CPUS)])
 
     # --- flagship: encode the webtable ------------------------------------
-    enc_out = Path("/tmp/nem_mms_bench/encoded_web")
+    enc_out = BENCH_OUT / "encoded_web"
     shutil.rmtree(enc_out, ignore_errors=True)
     t0 = time.monotonic()
     encode_files(web_paths, enc_out, target_bytes=ENCODE_TARGET_BYTES).to_pandas()
@@ -119,12 +131,13 @@ def run_bench() -> dict:
 
     if ONLY and not (ONLY - {"encode_webtable", "verify_webtable"}):
         ray.shutdown()
+        shutil.rmtree(BENCH_OUT, ignore_errors=True)
         total = round(sum(queries.values()), 3)
         return {"metric": "bench_total_sec", "value": total, "unit": "sec",
                 "queries": queries, "sf": sf, "num_cpus": NUM_CPUS, **extras}
 
     # --- encode the sf tables (documents + lineitem + events) -------------
-    enc2 = Path("/tmp/nem_mms_bench/encoded_sf")
+    enc2 = BENCH_OUT / "encoded_sf"
     shutil.rmtree(enc2, ignore_errors=True)
     sf_paths = [f"{SF_DIR}/{t}.parquet" for t in ("documents", "lineitem", "events")]
     t0 = time.monotonic()
@@ -168,6 +181,7 @@ def run_bench() -> dict:
     queries["ann_topk"] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
+    shutil.rmtree(BENCH_OUT, ignore_errors=True)  # don't hold tmpfs memory
 
     total = round(sum(queries.values()), 3)
     return {
@@ -248,8 +262,13 @@ def run_scaling() -> dict:
     # rate (0.049 GB/s), so the baseline is not inflated by overhead.
     lo = int(os.environ.get("NEM_MMS_SCALING_LO", "1"))
     hi = int(os.environ.get("NEM_MMS_SCALING_HI", str(lo * 4)))
-    runs_lo = [run(lo) for _ in range(2)]
-    runs_hi = [run(hi) for _ in range(2)]
+    trials = int(os.environ.get("NEM_MMS_SCALING_TRIALS", "3"))
+    # interleave lo/hi so both levels sample the same co-tenant load windows;
+    # min over trials then picks the quietest window for each level
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["queries"]["encode_webtable"])
     r_hi = min(runs_hi, key=lambda r: r["queries"]["encode_webtable"])
     t_lo = r_lo["queries"]["encode_webtable"]
