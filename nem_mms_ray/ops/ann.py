@@ -67,6 +67,22 @@ class BruteForceTopK:
         )
 
 
+_WORKER_TOPK: dict = {}
+
+
+def _topk_task(batch: pa.Table, *, queries_ref, k: int, vec_col: str, id_col: str) -> pa.Table:
+    """Task-mode wrapper: warm workers cache the normalized query matrix per
+    object ref (plasma-local anyway), skipping actor-pool ramp-up."""
+    key = (queries_ref.hex() if hasattr(queries_ref, "hex") else id(queries_ref),
+           k, vec_col, id_col)
+    st = _WORKER_TOPK.get(key)
+    if st is None:
+        if len(_WORKER_TOPK) > 16:
+            _WORKER_TOPK.clear()
+        st = _WORKER_TOPK[key] = BruteForceTopK(queries_ref, k, vec_col, id_col)
+    return st(batch)
+
+
 def topk_cosine(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding",
                 id_col: str = "vec_id", concurrency: int | None = None) -> pd.DataFrame:
     """Exact top-k via per-batch candidates + driver merge (tiny result).
@@ -74,15 +90,15 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding"
     Returns a DataFrame (query_idx, id, cosine, rank) sorted deterministically
     (cosine desc, id asc tie-break).
     """
+    import functools
+
     import ray
 
     qref = ray.put(np.atleast_2d(np.asarray(queries, np.float64)))
     cands = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k,
-                               "vec_col": vec_col, "id_col": id_col},
+        functools.partial(_topk_task, queries_ref=qref, k=k,
+                          vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency or _pool(),
         num_cpus=1,
     ).to_pandas()
     out = []
