@@ -94,10 +94,12 @@ def plan_partitions(
     """
     if not paths:
         raise ValueError("plan_partitions: no input paths given")
+    sorted_paths = sorted(str(p) for p in paths)
+    metas = _row_group_metas(sorted_paths)
     specs: list[PartitionSpec] = []
     pid = 0
-    for path in sorted(str(p) for p in paths):
-        md = pq.ParquetFile(path).metadata
+    for path in sorted_paths:
+        rg_meta = metas[path]
         cur_rgs: list[int] = []
         cur_bytes = 0
         cur_rows = 0
@@ -109,21 +111,47 @@ def plan_partitions(
                 pid += 1
                 cur_rgs, cur_bytes, cur_rows = [], 0, 0
 
-        for rg in range(md.num_row_groups):
-            rgm = md.row_group(rg)
-            sz = rgm.total_byte_size
+        for rg, (sz, nrows) in enumerate(rg_meta):
             if sz >= target_bytes:  # oversized row group -> isolated partition
                 flush()
-                specs.append(PartitionSpec(pid, path, [rg], sz, rgm.num_rows))
+                specs.append(PartitionSpec(pid, path, [rg], sz, nrows))
                 pid += 1
                 continue
             if cur_bytes + sz > target_bytes:
                 flush()
             cur_rgs.append(rg)
             cur_bytes += sz
-            cur_rows += rgm.num_rows
+            cur_rows += nrows
         flush()
     return specs
+
+
+def _read_rg_meta(path: str) -> list[tuple[int, int]]:
+    md = pq.ParquetFile(path).metadata
+    return [
+        (md.row_group(rg).total_byte_size, md.row_group(rg).num_rows)
+        for rg in range(md.num_row_groups)
+    ]
+
+
+def _row_group_metas(sorted_paths: list[str]) -> dict[str, list[tuple[int, int]]]:
+    """Per-file row-group (bytes, rows) metadata.
+
+    Fans the footer reads out as Ray tasks when the listing is large — a
+    serial driver-side scan is fine for dozens of files but becomes the
+    bottleneck at web scale (1e5-1e6 fragments x ~5ms per footer).  Output
+    is keyed by path, so partition ids stay derived from sorted paths +
+    row-group order regardless of task completion order (resume contract,
+    SURVEY.md §7.4)."""
+    if len(sorted_paths) < 32:
+        return {p: _read_rg_meta(p) for p in sorted_paths}
+    import ray
+
+    if not ray.is_initialized():
+        return {p: _read_rg_meta(p) for p in sorted_paths}
+    fetch = ray.remote(num_cpus=0.25)(_read_rg_meta)
+    refs = [fetch.remote(p) for p in sorted_paths]
+    return dict(zip(sorted_paths, ray.get(refs)))
 
 
 def _rows_per_batch(approx_bytes: int, rows: int, target: int = 32 << 20) -> int:
