@@ -1,0 +1,132 @@
+"""Engine CLI: encode / verify / describe / gen.
+
+The target-side analog of the reference CLI (`nem-mms parse|info|manage`,
+/root/reference/src/main.rs:92-152): `encode` is `parse` (input -> encoded
+columnar output + manifest), `verify` is the round-trip check the reference
+only had as unit tests, `describe` is `info` + `manage` (codec registry +
+manifest metrics of a depository), `gen` synthesizes the FIXTURES webtable.
+
+Owns its Ray session (library code never calls ray.init — driver contract).
+
+Usage:
+  python -m nem_mms_ray encode IN.parquet [IN2...] -o OUT_DIR [--target-mb 64]
+  python -m nem_mms_ray verify IN.parquet [IN2...] -o OUT_DIR [--target-mb 64]
+  python -m nem_mms_ray describe OUT_DIR
+  python -m nem_mms_ray gen -o DIR --rows 50000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": num_cpus} if num_cpus else {}
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kw)
+    return ray
+
+
+def cmd_encode(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from nem_mms_ray.pipelines.encode import encode_files
+    from nem_mms_ray.state.manifest import Manifest
+
+    df = encode_files(args.inputs, args.out,
+                      target_bytes=args.target_mb << 20).to_pandas()
+    summ = Manifest(args.out).summary()
+    print(json.dumps({"partitions_run": len(df),
+                      "skipped": int(df["skipped"].sum()), **summ}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_verify(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from nem_mms_ray.pipelines.decode import verify_files
+
+    df = verify_files(args.inputs, args.out,
+                      target_bytes=args.target_mb << 20).to_pandas()
+    ok = bool(df["ok"].all())
+    bad = df.loc[~df["ok"], ["pid", "mismatched_columns"]].to_dict("records")
+    print(json.dumps({"partitions": len(df), "ok": ok, "mismatches": bad}))
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+def cmd_describe(args) -> int:
+    """Codec registry + manifest metrics — no Ray session needed."""
+    from nem_mms_ray.codecs import REGISTRY
+    from nem_mms_ray.state.manifest import Manifest
+
+    out = {"codecs": {}}
+    for name in sorted(REGISTRY):
+        c = REGISTRY[name]
+        doc = (c.__doc__ or "").strip().splitlines()
+        out["codecs"][name] = doc[0] if doc else type(c).__name__
+    if args.out_dir:
+        m = Manifest(args.out_dir)
+        out["manifest"] = m.summary()
+        per_col: dict[str, dict] = {}
+        for r in m.load_all():
+            if not r.done:
+                continue
+            for col, codec in r.codecs.items():
+                e = per_col.setdefault(col, {"codec": codec, "orig": 0, "encoded": 0})
+                ob, eb = r.column_bytes.get(col, [0, 0])
+                e["orig"] += ob
+                e["encoded"] += eb
+        for col, e in per_col.items():
+            e["ratio"] = round(e["encoded"] / e["orig"], 4) if e["orig"] else 0.0
+        out["columns"] = per_col
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from nem_mms_ray.webtable import write_webtable
+
+    paths = write_webtable(args.out, args.rows, shard_rows=args.shard_rows)
+    print(json.dumps({"rows": args.rows, "files": len(paths), "dir": str(args.out)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nem_mms_ray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="encode parquet inputs into codec partitions")
+    pe.add_argument("inputs", nargs="+")
+    pe.add_argument("-o", "--out", required=True)
+    pe.add_argument("--target-mb", type=int, default=64)
+    pe.add_argument("--num-cpus", type=int, default=None)
+    pe.set_defaults(fn=cmd_encode)
+
+    pv = sub.add_parser("verify", help="decode + bit-identical round-trip check")
+    pv.add_argument("inputs", nargs="+")
+    pv.add_argument("-o", "--out", required=True)
+    pv.add_argument("--target-mb", type=int, default=64)
+    pv.add_argument("--num-cpus", type=int, default=None)
+    pv.set_defaults(fn=cmd_verify)
+
+    pd_ = sub.add_parser("describe", help="codec registry + manifest metrics")
+    pd_.add_argument("out_dir", nargs="?", default=None)
+    pd_.set_defaults(fn=cmd_describe)
+
+    pg = sub.add_parser("gen", help="synthesize the FIXTURES webtable")
+    pg.add_argument("-o", "--out", required=True)
+    pg.add_argument("--rows", type=int, default=50_000)
+    pg.add_argument("--shard-rows", type=int, default=25_000)
+    pg.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

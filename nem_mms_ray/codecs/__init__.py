@@ -1,6 +1,6 @@
 """Codec registry — importing this package registers all codecs.
 
-Registry keys: plain, for, dict, rle, fsst.
+Registry keys: plain, for, bitpack, delta, dict, rle, fsst.
 """
 
 from nem_mms_ray.codecs.base import (  # noqa: F401

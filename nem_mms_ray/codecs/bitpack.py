@@ -104,6 +104,39 @@ class ForBitpackCodec(Codec):
         return dtypes.apply_validity(out, ec.validity)
 
 
+class BitpackCodec(ForBitpackCodec):
+    """Plain width-minimal bit-pack (no frame of reference): payload =
+    pack_bits(v, width from the max value).  Only competitive when values
+    are small non-negative ints already near zero (flags, small enums);
+    `for` strictly dominates otherwise, so the estimate prices the wider
+    zero-based width honestly and the selector picks whichever wins."""
+
+    name = "bitpack"
+
+    def estimate(self, sketch) -> float:
+        if sketch.int_min is None or sketch.int_max is None or sketch.int_min < 0:
+            return float("inf")
+        return sketch.n * bit_width(sketch.int_max) / 8 + 24
+
+    def encode(self, arr: pa.Array) -> EncodedColumn:
+        typ = arr.type
+        validity = dtypes.extract_validity(arr)
+        filled = dtypes.fill_nulls(arr)
+        v = _int_values(filled)
+        work = v.astype(np.uint64)
+        if len(work) and v.dtype.kind == "i" and (v < 0).any():
+            raise ValueError("bitpack codec requires non-negative values")
+        width = bit_width(int(work.max())) if len(work) else 0
+        return EncodedColumn(
+            codec=self.name,
+            n=len(arr),
+            dtype=dtypes.type_to_str(typ),
+            payload=pack_bits(work, width),
+            validity=validity,
+            params={"base": 0, "width": width},
+        )
+
+
 class DeltaBitpackCodec(Codec):
     """Delta + frame-of-reference-on-deltas + bit-pack (the
     DELTA_BINARY_PACKED family): ideal for near-monotone sequences like
@@ -169,4 +202,5 @@ class DeltaBitpackCodec(Codec):
 
 
 register(ForBitpackCodec())
+register(BitpackCodec())
 register(DeltaBitpackCodec())

@@ -200,10 +200,8 @@ def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
-def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
-                            ngram: int = 3, concurrency: int | None = None,
-                            n_buckets: int = 128):
-    """Dataset[(a, b)] of LSH candidate pairs (a < b, distinct)."""
+def _minhash_raw_pairs(ds, num_perm: int, bands: int, ngram: int, n_buckets: int):
+    """Dataset[(a, b)] of LSH candidate pairs, possibly repeated across bands."""
     import functools
 
     sig = ds.map_batches(
@@ -218,14 +216,25 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
         h = b * np.uint64(0x9E3779B97F4A7C15) + k
         return t.append_column("bucket", pa.array((h % n_buckets).astype(np.int32)))
 
-    pairs = (
+    return (
         sig.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_pairs_in_bucket, batch_format="pandas")
     )
-    # distinct pairs (a,b may surface from multiple bands)
+
+
+def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
+                            ngram: int = 3, concurrency: int | None = None,
+                            n_buckets: int = 128):
+    """Dataset[(a, b)] of LSH candidate pairs (a < b, distinct).
+
+    The distinct step is a Ray groupby (a pair may surface from several
+    bands) — the scale path when the candidate set itself is large.
+    `minhash_dedup` instead dedupes driver-side on the (small) collected
+    candidate set, saving this shuffle."""
     from ray.data.aggregate import Count
 
+    pairs = _minhash_raw_pairs(ds, num_perm, bands, ngram, n_buckets)
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands")).select_columns(["a", "b"])
 
 
@@ -248,8 +257,10 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     """
     import ray
 
-    pairs_ds = minhash_candidate_pairs(ds, num_perm, bands, ngram)
-    pairs = pairs_ds.to_pandas()
+    pairs = _minhash_raw_pairs(ds, num_perm, bands, ngram, n_buckets=128).to_pandas()
+    # candidates are collected driver-side anyway for the broadcast verify,
+    # so the cross-band distinct is a free pandas op here, not a Ray shuffle
+    pairs = pairs.drop_duplicates(["a", "b"], ignore_index=True)
     if len(pairs) == 0:
         return ray.data.from_items([]).map_batches(
             lambda b: pa.table({"a": pa.array([], pa.int64()),

@@ -81,6 +81,24 @@ def test_int_roundtrip(codec, i):
     _roundtrip(codec, INT_ARRAYS[i])
 
 
+@pytest.mark.parametrize("i", range(len(INT_ARRAYS)))
+def test_bitpack_roundtrip(i):
+    """Plain bit-pack: non-negative domain only (the selector estimates it
+    as inf below zero, and encode() refuses; pipeline falls back to plain)."""
+    import pyarrow.compute as pc
+
+    from nem_mms_ray import dtypes as _dt
+
+    arr = INT_ARRAYS[i]
+    iv = arr if pa.types.is_integer(arr.type) else arr.view(_dt.int_view_type(arr.type))
+    mn = pc.min(iv).as_py() if len(arr) else None
+    if mn is not None and int(mn) < 0:
+        with pytest.raises(ValueError):
+            get_codec("bitpack").encode(arr)
+        return
+    _roundtrip("bitpack", arr)
+
+
 @pytest.mark.parametrize("codec", ["plain", "dict", "rle", "fsst"])
 @pytest.mark.parametrize("i", range(len(STRING_ARRAYS)))
 def test_string_roundtrip(codec, i):
