@@ -424,8 +424,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB equivalent of ops.textstats.LangId, with the stopword VALUES
+    generated from the SAME table the Ray stage uses (no transcription
+    drift).  Valid on ASCII text (the testdata documents): Python's
+    unicode [\\w']+ and RE2's [0-9a-z_']+ tokenize identically there."""
+    from nem_mms_ray.ops.textstats import _STOPWORDS
+
+    values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       lower(substr(coalesce(text, ''), 1, 2000)),
+                       '[0-9a-z_'']+')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+        ),
+        sw(lang, w) AS (VALUES {values}),
+        hits AS (
+            SELECT t.doc_id, sw.lang, count(*) AS hits
+            FROM toks t JOIN sw ON t.tok = sw.w
+            GROUP BY t.doc_id, sw.lang
+        ),
+        best AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, lang ASC) AS rn
+            FROM hits
+        )
+        SELECT d.doc_id,
+               coalesce(b.lang, 'und') AS lang_pred,
+               coalesce(round(b.hits * 1.0 / c.n_toks, 6), 0.0) AS lang_score
+        FROM documents d
+        LEFT JOIN counts c ON d.doc_id = c.doc_id
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id_docs": _lang_id_oracle_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6)  AS sum_qty,
