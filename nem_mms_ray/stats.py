@@ -40,6 +40,11 @@ class ColumnSketch:
     delta_width: int | None = None  # bits for (delta - min_delta); int-like only
     kmv: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
     fsst_ratio: float | None = None   # measured sample compression ratio
+    # ALP probe (floats only): smallest 10^e that represents every sampled
+    # value exactly as an integer (None = not decimalizable), + value range
+    float_scale: int | None = None
+    f_min: float | None = None
+    f_max: float | None = None
 
     @property
     def int_range(self) -> int | None:
@@ -75,6 +80,9 @@ class ColumnSketch:
             "delta_width": self.delta_width,
             "kmv": self.kmv.tobytes(),
             "fsst_ratio": self.fsst_ratio,
+            "float_scale": self.float_scale,
+            "f_min": self.f_min,
+            "f_max": self.f_max,
         }
 
     @classmethod
@@ -92,6 +100,14 @@ class ColumnSketch:
         sk.kmv = np.frombuffer(bytes(row["kmv"]), np.uint64).copy()
         fr = row["fsst_ratio"]
         sk.fsst_ratio = None if fr is None or (isinstance(fr, float) and np.isnan(fr)) else float(fr)
+
+        def _opt(key, cast):
+            v = row.get(key)
+            return None if v is None or (isinstance(v, float) and np.isnan(v)) else cast(v)
+
+        sk.float_scale = _opt("float_scale", int)
+        sk.f_min = _opt("f_min", float)
+        sk.f_max = _opt("f_max", float)
         return sk
 
 
@@ -111,6 +127,45 @@ def _run_count(arr: pa.Array) -> int:
     filled = dtypes.fill_nulls(arr)
     neq = pc.not_equal(filled.slice(1), filled.slice(0, n - 1))
     return int(np.asarray(neq.fill_null(True)).sum()) + 1
+
+
+ALP_MAX_EXP = 9  # probe decimal scales 10^0 .. 10^9
+
+
+def alp_find_scale(v: np.ndarray) -> int | None:
+    """Smallest e in [0, ALP_MAX_EXP] such that every finite value of `v`
+    (float32/float64, no NaN/inf) is exactly round(v*10^e)/10^e down to the
+    bit pattern (the ALP idea: real-world floats are mostly scaled decimals).
+    Returns None if no scale is exact."""
+    if len(v) == 0:
+        return 0
+    if not np.all(np.isfinite(v)):
+        return None
+    bits = v.view(np.uint64 if v.dtype == np.float64 else np.uint32)
+    v64 = v.astype(np.float64)
+    for e in range(ALP_MAX_EXP + 1):
+        s = 10.0 ** e
+        ints = np.round(v64 * s)
+        if np.abs(ints).max() >= 2.0 ** 53:
+            return None
+        # verify through int64 — the exact expression the codec decodes with
+        # (float-domain verification would wrongly accept -0.0: np.round
+        # preserves the sign of zero but the integer pipeline cannot)
+        recon = (ints.astype(np.int64).astype(np.float64) / s).astype(v.dtype)
+        if np.array_equal(recon.view(bits.dtype), bits):
+            return e
+    return None
+
+
+def _alp_probe(arr: pa.Array):
+    dense = arr.drop_null()
+    v = np.asarray(dense)
+    e = alp_find_scale(v)
+    if e is None:
+        return None, None, None
+    if len(v) == 0:
+        return e, None, None
+    return e, float(v.min()), float(v.max())
 
 
 def sketch_array(column: str, arr: pa.Array, with_fsst_probe: bool = True) -> ColumnSketch:
@@ -151,6 +206,9 @@ def sketch_array(column: str, arr: pa.Array, with_fsst_probe: bool = True) -> Co
         else:
             sk.delta_width = 0
 
+    if pa.types.is_floating(typ):
+        sk.float_scale, sk.f_min, sk.f_max = _alp_probe(arr)
+
     sk.run_count = _run_count(arr)
 
     h = np.unique(_hash_values(arr))
@@ -189,11 +247,21 @@ def merge_sketches(parts: list[ColumnSketch]) -> ColumnSketch:
         kmvs.append(p.kmv)
         if p.fsst_ratio is not None:
             ratios.append((p.value_bytes, p.fsst_ratio))
+        if p.f_min is not None:
+            out.f_min = p.f_min if out.f_min is None else min(out.f_min, p.f_min)
+        if p.f_max is not None:
+            out.f_max = p.f_max if out.f_max is None else max(out.f_max, p.f_max)
     h = np.unique(np.concatenate(kmvs)) if kmvs else np.zeros(0, np.uint64)
     out.kmv = h[:KMV_K] if len(h) > KMV_K else h
     if ratios:
         w = sum(r[0] for r in ratios)
         out.fsst_ratio = sum(b * r for b, r in ratios) / max(1, w)
+    # ALP scale merges to the coarsest part scale ONLY if every part
+    # decimalized (any non-decimal part poisons the column: max is
+    # order-invariant, and a larger e still represents smaller-e values)
+    scales = [p.float_scale for p in parts]
+    if all(s is not None for s in scales):
+        out.float_scale = max(scales)
     return out
 
 

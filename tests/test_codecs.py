@@ -179,3 +179,62 @@ def test_compression_beats_plain_on_favorable_data():
     assert get_codec("rle").encode(lang).encoded_bytes < plain
     ts = pa.array(np.arange(10000) * 1000 + 1_700_000_000_000_000, type=pa.timestamp("us"))
     assert get_codec("for").encode(ts).encoded_bytes < get_codec("plain").encode(ts).encoded_bytes / 2
+
+
+# ---------------------------------------------------------------------------
+# ALP decimal-float codec
+# ---------------------------------------------------------------------------
+
+ALP_OK_ARRAYS = [
+    pa.array([], type=pa.float64()),
+    pa.array([None, None], type=pa.float64()),
+    pa.array([19.99, 0.01, None, -4.5, 100.0], type=pa.float64()),
+    pa.array([1.0, 2.0, 3.0] * 50, type=pa.float64()),          # scale e=0
+    pa.array(np.arange(1000) * 0.25, type=pa.float64()),        # e=2
+    pa.array([1.5, 2.5, None], type=pa.float32()),
+    pa.array([-1234.56, 7890.12], type=pa.float64()),
+]
+
+
+@pytest.mark.parametrize("i", range(len(ALP_OK_ARRAYS)))
+def test_alp_roundtrip(i):
+    _roundtrip("alp", ALP_OK_ARRAYS[i])
+
+
+@pytest.mark.parametrize("bad", [
+    pa.array([float("nan"), 1.0], type=pa.float64()),
+    pa.array([float("inf"), 1.0], type=pa.float64()),
+    pa.array([np.pi, 1.0], type=pa.float64()),                  # not decimal
+    pa.array([-0.0, 1.0], type=pa.float64()),                   # -0.0 bit lost
+    pa.array([1e17, 1.0], type=pa.float64()),                   # > 2^53
+])
+def test_alp_refuses_non_decimal(bad):
+    with pytest.raises(ValueError):
+        get_codec("alp").encode(bad)
+
+
+def test_alp_selector_picks_it_for_prices():
+    from nem_mms_ray.selector import select_codec
+    from nem_mms_ray.stats import sketch_array
+
+    rng = np.random.default_rng(3)
+    prices = pa.array(np.round(rng.uniform(1, 100000, 20000), 2))
+    plan = select_codec(sketch_array("price", prices))
+    assert plan.codec == "alp"
+    # and the estimate is honest: ~ n * width/8 for range 1e7 (24 bits)
+    assert plan.estimates["alp"] < plan.estimates["plain"] / 2
+
+
+def test_alp_sketch_merge_invariance():
+    from nem_mms_ray.stats import merge_sketches, sketch_array
+
+    vals = pa.array([1.25, 3.5, None, 100.75, 2.0] * 200)
+    whole = sketch_array("x", vals, with_fsst_probe=False)
+    parts = [sketch_array("x", vals.slice(i * 250, 250), with_fsst_probe=False)
+             for i in range(4)]
+    merged = merge_sketches(parts)
+    assert merged.float_scale == whole.float_scale == 2
+    assert merged.f_min == whole.f_min and merged.f_max == whole.f_max
+    # a non-decimal part poisons the merge
+    bad = sketch_array("x", pa.array([np.pi]), with_fsst_probe=False)
+    assert merge_sketches(parts + [bad]).float_scale is None
