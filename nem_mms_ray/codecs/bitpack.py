@@ -77,9 +77,14 @@ class ForBitpackCodec(Codec):
             base = int(work.min())
             # two's-complement subtraction wraps correctly for signed bases
             deltas = work.astype(np.uint64) - np.uint64(base & 0xFFFFFFFFFFFFFFFF)
+            # extract the common divisor: day-aligned timestamps, cents,
+            # quantized sensor steps etc. pack log2(div) fewer bits/value
+            div = int(np.gcd.reduce(deltas)) if deltas.any() else 1
+            if div > 1:
+                deltas = deltas // np.uint64(div)
             width = bit_width(int(deltas.max()))
         else:
-            base, deltas, width = 0, np.zeros(0, np.uint64), 0
+            base, deltas, width, div = 0, np.zeros(0, np.uint64), 0, 1
         payload = pack_bits(deltas, width)
         return EncodedColumn(
             codec=self.name,
@@ -87,12 +92,15 @@ class ForBitpackCodec(Codec):
             dtype=dtypes.type_to_str(typ),
             payload=payload,
             validity=validity,
-            params={"base": base, "width": width},
+            params={"base": base, "width": width, "div": div},
         )
 
     def decode(self, ec: EncodedColumn) -> pa.Array:
         typ = dtypes.type_from_str(ec.dtype)
         deltas = unpack_bits(ec.payload, ec.n, ec.params["width"])
+        div = int(ec.params.get("div", 1))
+        if div > 1:
+            deltas = deltas * np.uint64(div)  # wraps mod 2^64 (inverse exact)
         base = int(ec.params["base"])
         raw = deltas + np.uint64(base & 0xFFFFFFFFFFFFFFFF)  # wraps mod 2^64
         ivt = dtypes.int_view_type(typ)
@@ -165,18 +173,21 @@ class DeltaBitpackCodec(Codec):
             if len(deltas):
                 min_d = int(deltas.min())
                 rel = deltas - np.uint64(min_d)
+                div = int(np.gcd.reduce(rel)) if rel.any() else 1
+                if div > 1:
+                    rel = rel // np.uint64(div)
                 width = bit_width(int(rel.max()))
             else:
-                min_d, rel, width = 0, np.zeros(0, np.uint64), 0
+                min_d, rel, width, div = 0, np.zeros(0, np.uint64), 0, 1
         else:
-            first, min_d, rel, width = 0, 0, np.zeros(0, np.uint64), 0
+            first, min_d, rel, width, div = 0, 0, np.zeros(0, np.uint64), 0, 1
         return EncodedColumn(
             codec=self.name,
             n=len(arr),
             dtype=dtypes.type_to_str(typ),
             payload=pack_bits(rel, width),
             validity=validity,
-            params={"first": first, "min_delta": min_d, "width": width},
+            params={"first": first, "min_delta": min_d, "width": width, "div": div},
         )
 
     def decode(self, ec: EncodedColumn) -> pa.Array:
@@ -186,6 +197,9 @@ class DeltaBitpackCodec(Codec):
             vals = np.zeros(0, np.uint64)
         else:
             rel = unpack_bits(ec.payload, n - 1, ec.params["width"])
+            div = int(ec.params.get("div", 1))
+            if div > 1:
+                rel = rel * np.uint64(div)
             deltas = rel + np.uint64(ec.params["min_delta"] & 0xFFFFFFFFFFFFFFFF)
             vals = np.empty(n, np.uint64)
             vals[0] = np.uint64(ec.params["first"] & 0xFFFFFFFFFFFFFFFF)
