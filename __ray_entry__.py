@@ -299,6 +299,24 @@ def _encode_documents(sf_dir: str):
     )
 
 
+def _encode_lineitem(sf_dir: str):
+    """Typed-table encode: exercises alp (floats), delta/bitpack (keys),
+    for+gcd (day-aligned dates) and dict (flags) with bit-identical verify."""
+    from nem_mms_ray.pipelines.decode import verify_files
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    out = Path("/tmp/nem_mms_ray_q/encoded_lineitem")
+    shutil.rmtree(out, ignore_errors=True)
+    paths = [f"{sf_dir}/lineitem.parquet"]
+    metrics = encode_files(paths, out, target_bytes=32 << 20).to_pandas()
+    ver = verify_files(paths, out, target_bytes=32 << 20).to_pandas()
+    metrics["roundtrip_ok"] = bool(ver["ok"].all())
+    return pa.Table.from_pandas(
+        metrics[["pid", "rows", "orig_bytes", "encoded_bytes", "roundtrip_ok"]],
+        preserve_index=False,
+    )
+
+
 def _media_features_docs(sf_dir: str):
     """Multimodal plumbing demo: text bytes as opaque payload -> stub
     feature extraction (actor pool, list<float> output)."""
@@ -420,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": _ivf_ann_topk,
         # flagship encode + multimodal plumbing
         "encode_documents": _encode_documents,
+        "encode_lineitem": _encode_lineitem,
         "media_features_docs": _media_features_docs,
     }
 

@@ -47,3 +47,37 @@ def test_fsst_stream_property(data):
     enc = native.encode(*syms, data)
     assert native.decode(*syms, enc, len(data)) == data
     assert native._py_encode(*syms, data) == enc
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=st.lists(
+    st.one_of(
+        st.integers(min_value=-(10**12), max_value=10**12).map(lambda i: i / 100.0),
+        st.none(),
+    ),
+    max_size=200,
+))
+def test_alp_roundtrip_property(vals):
+    """Any 2-decimal value within 2^53 scaled must round-trip through alp."""
+    arr = pa.array(vals, type=pa.float64())
+    out = decode_column(get_codec("alp").encode(arr))
+    assert out.equals(arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    base=st.integers(min_value=-(2**40), max_value=2**40),
+    div=st.sampled_from([1, 7, 1000, 86_400_000_000]),
+    steps=st.lists(st.integers(min_value=0, max_value=5000), max_size=150),
+)
+def test_for_gcd_roundtrip_property(base, div, steps):
+    """Values sharing a common divisor round-trip through for/delta and the
+    for payload shrinks with the divisor extracted."""
+    vals = [base + s * div for s in steps]
+    arr = pa.array(vals, type=pa.int64())
+    for codec in ("for", "delta"):
+        ec = get_codec(codec).encode(arr)
+        assert decode_column(ec).equals(arr)
+    if len(set(vals)) > 2:
+        ec = get_codec("for").encode(arr)
+        assert ec.params["div"] % div == 0 or ec.params["width"] == 0
