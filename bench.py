@@ -172,6 +172,21 @@ def run_bench() -> dict:
     extras["minhash_pairs"] = pairs.count()
     queries["dedup_minhash"] = round(time.monotonic() - t0, 3)
 
+    # --- MMS flat-file parse (the reference's flagship `parse` path) ------
+    from nem_mms_ray.mms.fixture import make_scada_corpus
+    from nem_mms_ray.mms.pipeline import parse_to_parquet
+
+    mms_dir = Path("/tmp/nem_mms_scada") / f"sf{sf}"
+    info = make_scada_corpus(mms_dir, n_files=16, rows_per_file=int(40_000 * max(sf * 10, 0.1)))
+    mms_out = BENCH_OUT / "mms_parquet"
+    shutil.rmtree(mms_out, ignore_errors=True)
+    t0 = time.monotonic()
+    summ_mms = parse_to_parquet(mms_dir, mms_out)
+    queries["mms_parse"] = round(time.monotonic() - t0, 3)
+    extras["mms_csv_mb"] = round(info["csv_bytes"] / 1e6, 1)
+    extras["mms_rows"] = sum(p["rows"] for p in summ_mms["packages"].values())
+    extras["mms_parse_mbps"] = round(info["csv_bytes"] / 1e6 / queries["mms_parse"], 1)
+
     # --- ANN top-k over embeddings ----------------------------------------
     t0 = time.monotonic()
     emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")

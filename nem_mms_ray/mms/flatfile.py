@@ -23,6 +23,7 @@ import csv
 import io
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 
 from nem_mms_ray.mms.schemas import PackageDef, package_for_header
@@ -51,6 +52,16 @@ class FlatFileTable:
     report_version: int
     column_headers: list[str]
     data_rows: list[list[str]] = field(default_factory=list)
+    # fast-path representation: positional arrow string columns (cells after
+    # the 4 key fields), parsed in bulk by pyarrow.csv — exactly one of
+    # data_rows / data_columns carries the rows
+    data_columns: list[pa.Array] | None = None
+
+    @property
+    def num_data_rows(self) -> int:
+        if self.data_columns is not None:
+            return len(self.data_columns[0]) if self.data_columns else 0
+        return len(self.data_rows)
 
     def to_arrow(self) -> pa.Table:
         """Pivot rows -> typed arrow per the bound schema (P10/P11)."""
@@ -65,10 +76,14 @@ class FlatFileTable:
             if f.name not in header_idx:
                 raise MmsParseError(f"missing column header {f.name!r}")
             ci = header_idx[f.name]
-            col = [
-                row[ci] if ci < len(row) else None
-                for row in self.data_rows
-            ]
+            if self.data_columns is not None:
+                col = (self.data_columns[ci] if ci < len(self.data_columns)
+                       else pa.nulls(self.num_data_rows, pa.string()))
+            else:
+                col = [
+                    row[ci] if ci < len(row) else None
+                    for row in self.data_rows
+                ]
             arrays.append(cast_column(col, f))
         return pa.Table.from_arrays(arrays, schema=schema)
 
@@ -80,7 +95,7 @@ class ParsedFlatFile:
 
     @property
     def data_row_count(self) -> int:
-        return sum(len(t.data_rows) for t in self.tables)
+        return sum(t.num_data_rows for t in self.tables)
 
     def end_of_report_count(self) -> int | None:
         """The file's own control total — parsed but never verified by the
@@ -103,7 +118,120 @@ def _parse_comment(row: list[str]) -> CommentRecord:
 
 
 def parse_flatfile_bytes(data: bytes) -> ParsedFlatFile:
-    """Parse one MMS CSV file held in memory."""
+    """Parse one MMS CSV file held in memory.
+
+    Quote-free files (the overwhelmingly common case) take a bulk path:
+    line tags classify via one pass over first bytes, and each table's
+    uniform D-block parses as one pyarrow.csv read (C kernels, ~10x the
+    row-loop's throughput).  Files containing '"' — or any block the bulk
+    CSV reader rejects — fall back to the row-by-row reference semantics.
+    """
+    if b'"' not in data:
+        try:
+            return _parse_fast(data)
+        except MmsParseError:
+            raise
+        except Exception:
+            pass  # structural surprise: defer to the row-by-row path
+    return _parse_rows(data)
+
+
+def _parse_fast(data: bytes) -> ParsedFlatFile:
+    import pyarrow.csv as pacsv
+
+    # numpy line scan: starts/ends of every line + its first byte, no
+    # per-line bytes objects materialized for the (dominant) D rows
+    buf = np.frombuffer(data, np.uint8)
+    nl = np.flatnonzero(buf == np.uint8(10))
+    n_lines = len(nl) + (0 if (len(buf) and buf[-1] == 10) else 1)
+    starts = np.empty(n_lines, np.int64)
+    ends = np.empty(n_lines, np.int64)
+    starts[0] = 0
+    starts[1:] = nl[: n_lines - 1] + 1
+    ends[: len(nl)] = nl[: n_lines if n_lines <= len(nl) else len(nl)]
+    if n_lines > len(nl):
+        ends[-1] = len(buf)
+    first = np.zeros(n_lines, np.uint8)
+    nonempty = starts < ends
+    first[nonempty] = buf[starts[nonempty]]
+    is_d = first == np.uint8(68)  # b"D"
+
+    tables: list[FlatFileTable] = []
+    comments: list[CommentRecord] = []
+    current: FlatFileTable | None = None
+    # boundary = last non-blank non-D line processed; lines strictly between
+    # two boundaries are all D rows (we enumerate every non-D line below),
+    # plus possibly blanks — a blank inside a run makes pyarrow.csv reject
+    # the block, which falls this file back to the row path
+    boundary = -1
+
+    def flush_run(upto: int) -> None:
+        """Bulk-parse the D run in lines (boundary, upto) into `current`."""
+        run_start = boundary + 1
+        if run_start >= upto:
+            return
+        if current is None:
+            return  # data before any header is skipped (G1)
+        block = data[starts[run_start] : ends[upto - 1]]
+        ncols = int(np.count_nonzero(
+            buf[starts[run_start] : ends[run_start]] == np.uint8(44)
+        )) + 1
+        if ncols < 4:
+            raise ValueError("short data record")  # row path raises the typed error
+        tbl = pacsv.read_csv(
+            io.BytesIO(block),
+            read_options=pacsv.ReadOptions(autogenerate_column_names=True),
+            convert_options=pacsv.ConvertOptions(
+                column_types={f"f{i}": pa.string() for i in range(ncols)},
+                strings_can_be_null=False,
+                null_values=[],
+            ),
+        )
+        if tbl.num_columns != ncols:
+            raise ValueError("width drift in D block")
+        current.data_columns = [
+            tbl.column(i).combine_chunks() for i in range(4, ncols)
+        ]
+
+    for i in np.flatnonzero(~is_d):
+        i = int(i)
+        ln = data[starts[i] : ends[i]]
+        if not ln.strip():
+            continue  # blank lines neither close tables nor carry rows
+        flush_run(i)
+        boundary = i
+        row = next(csv.reader([ln.decode("utf-8", "replace")]))
+        if not row:
+            continue
+        tag = ln[:1]
+        if tag == b"I":
+            if len(row) < 4:
+                raise MmsParseError(f"short information record: {row!r}")
+            try:
+                version = int(row[3])
+            except ValueError as e:
+                raise MmsParseError(f"bad report version {row[3]!r}") from e
+            current = FlatFileTable(
+                package=package_for_header(row[1], row[2]),
+                report_type=row[1],
+                report_subtype=row[2],
+                report_version=version,
+                column_headers=row[4:],
+                data_columns=[],
+            )
+            tables.append(current)
+        elif tag == b"C":
+            comments.append(_parse_comment(row))
+            current = None
+        else:
+            raise MmsParseError(
+                f"unrecognized record tag {row[0]!r} (expected one of C, I, D)"
+            )
+    flush_run(n_lines)
+    return ParsedFlatFile(tables=tables, comments=comments)
+
+
+def _parse_rows(data: bytes) -> ParsedFlatFile:
     reader = csv.reader(io.StringIO(data.decode("utf-8", "replace")))
     tables: list[FlatFileTable] = []
     comments: list[CommentRecord] = []

@@ -61,7 +61,7 @@ def _parse_file_task(batch: pa.Table) -> pa.Table:
                     out.append({
                         "package": "", "file_idx": file_idx,
                         "member_idx": member_idx, "table_idx": table_idx,
-                        "rows": len(t.data_rows), "ipc": b"",
+                        "rows": t.num_data_rows, "ipc": b"",
                         "skipped_header": f"{t.report_type},{t.report_subtype}",
                         "eor_declared": eor if eor is not None else -1,
                         "source": member,

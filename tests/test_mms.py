@@ -269,3 +269,34 @@ def test_package_info_renders():
     s = package_info("DISPATCH_UNIT_SCADA")
     assert "DUID: string NOT NULL" in s
     assert "Dispatch: I,DISPATCH,UNIT_SCADA,*" in s
+
+
+def test_fast_path_matches_row_path():
+    """The bulk pyarrow.csv path must produce byte-identical tables to the
+    row-by-row reference-semantics path, incl. shuffled columns, dropped
+    extra columns, unknown packages and the EOR control total."""
+    from nem_mms_ray.mms.flatfile import _parse_rows
+    from nem_mms_ray.mms.fixture import scada_csv
+
+    multi = (b"I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE\n"
+             b"D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:40:00,UNIT1,1.5\n"
+             b"I,DISPATCH,LOCAL_PRICE,1,SCADAVALUE,EXTRA,DUID,SETTLEMENTDATE,"
+             b"LOCAL_PRICE_ADJUSTMENT,LOCALLY_CONSTRAINED\n"
+             b"D,DISPATCH,LOCAL_PRICE,1,9,junk,UNIT1,2021/04/01 04:40:00,0.0,1\n"
+             b"I,BID,BIDDAYOFFER_D,2,SETTLEMENTDATE,DUID\n"
+             b"D,BID,BIDDAYOFFER_D,2,2021/03/31 00:00,DUID1\n"
+             b"C,END OF REPORT,7\n")
+    for data in (scada_csv(500, seed=3), multi):
+        fast, slow = parse_flatfile_bytes(data), _parse_rows(data)
+        assert fast.end_of_report_count() == slow.end_of_report_count()
+        assert len(fast.tables) == len(slow.tables)
+        for a, b in zip(fast.tables, slow.tables):
+            assert a.num_data_rows == b.num_data_rows
+            if a.package is not None:
+                assert a.to_arrow().equals(b.to_arrow())
+    # quoted fields force the row path and still parse
+    quoted = (b'I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE\n'
+              b'D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:40:00,"UNIT,1",1.5\n'
+              b'C,END OF REPORT,3\n')
+    p = parse_flatfile_bytes(quoted)
+    assert p.tables[0].to_arrow().column("DUID").to_pylist() == ["UNIT,1"]
