@@ -45,7 +45,14 @@ def _unipc(buf: bytes) -> pa.Table:
         return r.read_all()
 
 
-def _parse_file_task(batch: pa.Table) -> pa.Table:
+def _parse_file_task(batch: pa.Table, write_dir: str | None = None) -> pa.Table:
+    """Parse each input file's members; one row per logical table.
+
+    With `write_dir` set (the partitioned scale path), each task writes its
+    tables straight to `write_dir/PKG/part-f...parquet` (deterministic names
+    -> resumable) and ships only summary rows — parsed data never crosses to
+    the driver.  Without it, tables return as Arrow IPC payloads (the
+    reference-layout path, where one writer owns each output file)."""
     out = []
     for row in batch.to_pylist():
         path = row["path"]
@@ -64,30 +71,44 @@ def _parse_file_task(batch: pa.Table) -> pa.Table:
                         "rows": t.num_data_rows, "ipc": b"",
                         "skipped_header": f"{t.report_type},{t.report_subtype}",
                         "eor_declared": eor if eor is not None else -1,
-                        "source": member,
+                        "source": member, "written": "",
                     })
                     continue
                 arrow = t.to_arrow()
-                out.append({
+                rec = {
                     "package": t.package.name, "file_idx": file_idx,
                     "member_idx": member_idx, "table_idx": table_idx,
-                    "rows": arrow.num_rows, "ipc": _ipc(arrow),
+                    "rows": arrow.num_rows, "ipc": b"",
                     "skipped_header": "",
                     "eor_declared": eor if eor is not None else -1,
-                    "source": member,
-                })
+                    "source": member, "written": "",
+                }
+                if write_dir is not None:
+                    tgt = (Path(write_dir) / t.package.name /
+                           f"part-f{file_idx:05d}-m{member_idx:03d}-t{table_idx:03d}.parquet")
+                    tgt.parent.mkdir(parents=True, exist_ok=True)
+                    pq.write_table(arrow, tgt)
+                    rec["written"] = str(tgt)
+                else:
+                    rec["ipc"] = _ipc(arrow)
+                out.append(rec)
     schema = pa.schema([
         ("package", pa.string()), ("file_idx", pa.int64()),
         ("member_idx", pa.int64()), ("table_idx", pa.int64()),
         ("rows", pa.int64()), ("ipc", pa.large_binary()),
         ("skipped_header", pa.string()), ("eor_declared", pa.int64()),
-        ("source", pa.string()),
+        ("source", pa.string()), ("written", pa.string()),
     ])
     return pa.Table.from_pylist(out, schema=schema)
 
 
-def parse_dataset(input_path: str | Path):
-    """Lazy Dataset of parsed (package, ipc-table) rows, one block per file."""
+def parse_dataset(input_path: str | Path, write_dir: str | Path | None = None):
+    """Lazy Dataset of parsed-table rows, one block per file.
+
+    With `write_dir`, tables land as worker-written parquet parts and the
+    rows are summaries; without, rows carry the tables as Arrow IPC."""
+    import functools
+
     import ray.data as rd
 
     files = expand_paths(input_path)
@@ -95,7 +116,9 @@ def parse_dataset(input_path: str | Path):
         raise MmsParseError(f"no .csv/.zip inputs under {input_path}")
     items = [{"path": str(p), "file_idx": i} for i, p in enumerate(files)]
     ds = rd.from_items(items, override_num_blocks=len(items))
-    return ds.map_batches(_parse_file_task, batch_size=1, batch_format="pyarrow")
+    fn = (functools.partial(_parse_file_task, write_dir=str(write_dir))
+          if write_dir is not None else _parse_file_task)
+    return ds.map_batches(fn, batch_size=1, batch_format="pyarrow")
 
 
 def read_package_parquet(path: str | Path, package: str) -> pa.Table:
@@ -119,25 +142,39 @@ def parse_to_parquet(
     """Run the parse pipeline and write per-package Parquet.  Returns a
     summary dict (packages written, row counts, skipped headers)."""
     out_path = Path(out_path)
-    results = parse_dataset(input_path)
-
     summary: dict = {"packages": {}, "skipped": [], "files": 0}
-    writers: dict[str, pq.ParquetWriter] = {}
     seen_files = set()
 
+    if layout == "partitioned":
+        # scale path: workers write their own parts; only summary rows (no
+        # table payloads) ever reach the driver
+        rows = parse_dataset(input_path, write_dir=out_path).take_all()
+        for r in rows:
+            seen_files.add(r["file_idx"])
+            if not r["package"]:
+                summary["skipped"].append(r["skipped_header"])
+                continue
+            p = summary["packages"].setdefault(
+                r["package"], {"rows": 0, "path": str(out_path / r["package"])})
+            p["rows"] += r["rows"]
+        summary["files"] = len(seen_files)
+        return summary
+
+    # reference layout: one writer per package file, driver-side
+    # (/root/reference/src/packages/mod.rs:196-237 semantics)
+    results = parse_dataset(input_path)
+    writers: dict[str, pq.ParquetWriter] = {}
     rows = results.take_all()
     rows.sort(key=lambda r: (r["file_idx"], r["member_idx"], r["table_idx"]))
     packages = sorted({r["package"] for r in rows if r["package"]})
 
     def target_for(pkg: str) -> Path:
-        if layout == "reference":
-            # /root/reference/src/packages/mod.rs:224-233 naming semantics
-            if len(packages) == 1:
-                return out_path
-            if out_path.suffix:
-                return out_path.with_name(f"{out_path.stem}_{pkg}{out_path.suffix}")
-            return out_path / f"{pkg}.parquet"
-        return out_path / pkg / "part-data.parquet"
+        # /root/reference/src/packages/mod.rs:224-233 naming semantics
+        if len(packages) == 1:
+            return out_path
+        if out_path.suffix:
+            return out_path.with_name(f"{out_path.stem}_{pkg}{out_path.suffix}")
+        return out_path / f"{pkg}.parquet"
 
     try:
         for r in rows:
