@@ -17,6 +17,8 @@
 
 typedef struct {
     uint16_t byte_code[256];
+    /* len-2 symbols: direct-mapped on the two bytes (no hashing) */
+    uint16_t two_code[65536];
     uint64_t keys[7][HCAP];
     uint16_t codes[7][HCAP];
     uint8_t used[7][HCAP];
@@ -42,11 +44,18 @@ static void build_table(SymTable *t, const uint8_t *sym_bytes,
                         const uint8_t *sym_lens, int n_sym) {
     memset(t, 0, sizeof(*t));
     for (int i = 0; i < 256; i++) t->byte_code[i] = 0xFFFF;
+    memset(t->two_code, 0xFF, sizeof(t->two_code));
     t->max_len = 1;
     for (int s = 0; s < n_sym; s++) {
         int len = sym_lens[s];
         const uint8_t *p = sym_bytes + s * 8;
         if (len == 1) { t->byte_code[p[0]] = (uint16_t)s; continue; }
+        if (len == 2) {
+            t->two_code[((uint32_t)p[0] << 8) | p[1]] = (uint16_t)s;
+            t->first_len_mask[p[0]] |= 1;
+            if (len > t->max_len) t->max_len = len;
+            continue;
+        }
         int li = len - 2;
         uint64_t key = load_prefix(p, len);
         uint32_t h = hash64(key ^ ((uint64_t)len << 56));
@@ -96,10 +105,14 @@ long fsst_encode(const uint8_t *sym_bytes, const uint8_t *sym_lens, int n_sym,
                 key = (key << 8) | p[len - 1];
                 pv[len] = key;
             }
-            for (int len = toplen; len >= 2; len--) {
+            for (int len = toplen; len >= 3; len--) {
                 if (!(m & (1u << (len - 2)))) continue;
                 int c = lookup(&t, len, pv[len]);
                 if (c >= 0) { code = c; mlen = len; break; }
+            }
+            if (code < 0 && (m & 1)) {  /* len-2: direct-mapped, no hash */
+                uint16_t c2 = t.two_code[(uint32_t)pv[2]];
+                if (c2 != 0xFFFF) { code = c2; mlen = 2; }
             }
         }
         if (code < 0) {
