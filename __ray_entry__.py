@@ -349,6 +349,23 @@ def _events_running_seq(sf_dir: str):
     return events_running_seq(_read(sf_dir, "events"))
 
 
+def _events_sessionize(sf_dir: str):
+    from nem_mms_ray.ops.relational import sessionize_events
+
+    ds = sessionize_events(_read(sf_dir, "events"), gap_minutes=30)
+    return ds.select_columns(
+        ["user_id", "session_id", "session_start", "session_end", "n_events"]
+    )
+
+
+def _events_sliding_avg(sf_dir: str):
+    from nem_mms_ray.ops.relational import events_sliding_avg
+
+    return events_sliding_avg(_read(sf_dir, "events"), window=3).select_columns(
+        ["user_id", "event_id", "sliding_avg"]
+    )
+
+
 def _event_type_value_stats(sf_dir: str):
     from nem_mms_ray.ops.relational import event_type_value_stats
 
@@ -412,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_user_hour": _events_per_user_hour,
         "orders_urgent": _orders_urgent,
         "events_running_seq": _events_running_seq,
+        "events_sessionize": _events_sessionize,
+        "events_sliding_avg": _events_sliding_avg,
         "event_type_value_stats": _event_type_value_stats,
         "customers_per_nation": _customers_per_nation,
         "lineitem_revenue": _lineitem_revenue,
@@ -517,6 +536,33 @@ def oracle_sql() -> dict[str, str]:
         "events_running_seq": """
             SELECT user_id, event_id,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+            FROM events
+        """,
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM e
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "events_sliding_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                         6) AS sliding_avg
             FROM events
         """,
         "event_type_value_stats": """

@@ -137,6 +137,76 @@ def events_running_seq(events_ds):
     return events_ds.groupby("user_id").map_groups(seq, batch_format="pandas")
 
 
+def sessionize_events(events_ds, gap_minutes: int = 30, n_buckets: int = 64):
+    """Gap-based session windows per user (the session-window shape Ray Data
+    lacks natively): a new session starts when the time since the user's
+    previous event exceeds `gap_minutes`.  Returns Dataset[(user_id,
+    session_id, session_start, session_end, n_events)].
+
+    Scale shape: shuffle on a user-hash bucket (bounded group count — see
+    the minhash coarse-bucket note), then a vectorized pandas groupby per
+    bucket; every user's events land in one bucket so intra-user order is
+    total after the in-group sort by (ts, event_id)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column("bucket", pa.array((u % n_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        t = g["ts"].astype("int64")  # epoch micros
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = (t.diff() > gap_us) | new_user
+        # session_id restarts at 0 per user: cumsum of breaks minus the
+        # cumulative break count at each user's first row
+        sid_all = brk.cumsum()
+        first_of_user = sid_all.where(new_user).ffill()
+        g["session_id"] = (sid_all - first_of_user).astype(np.int64)
+        out = (
+            g.groupby(["user_id", "session_id"], sort=True)
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                 n_events=("ts", "size"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        events_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def events_sliding_avg(events_ds, window: int = 3, n_buckets: int = 64):
+    """Per-user sliding mean of `value` over the last `window` rows ordered
+    by (ts, event_id) — the ROWS-frame window-aggregate shape.  Returns
+    Dataset[(user_id, event_id, sliding_avg)]."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column("bucket", pa.array((u % n_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        avg = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(window, min_periods=1).mean()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "sliding_avg": np.round(avg, 6),
+        })
+
+    return (
+        events_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def event_type_value_stats(events_ds):
     """Per event_type: n, sum/min/max of value (pre-aggregated partials)."""
     from ray.data.aggregate import Max, Min, Sum

@@ -258,3 +258,28 @@ def test_relational_pricing_summary(ray_session):
     assert list(out["sum_qty"]) == [3.0, 3.0]
     assert list(out["n"]) == [2, 1]
     assert out["avg_disc"].iloc[0] == pytest.approx(0.15)
+
+
+def test_sessionize_and_sliding_avg(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.relational import events_sliding_avg, sessionize_events
+
+    base = pd.Timestamp("2024-01-01")
+    mins = [0, 5, 10, 60, 61, 200]          # gaps: 30min rule -> 3 sessions
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": [base + pd.Timedelta(minutes=m) for m in mins],
+        "user_id": np.array([1, 1, 1, 1, 1, 1], np.int64),
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    sess = sessionize_events(rd.from_pandas(df), gap_minutes=30).to_pandas()
+    sess = sess.sort_values("session_id", ignore_index=True)
+    assert list(sess["session_id"]) == [0, 1, 2]
+    assert list(sess["n_events"]) == [3, 2, 1]
+    assert sess["session_start"].iloc[1] == df["ts"].iloc[3]
+
+    sl = events_sliding_avg(rd.from_pandas(df), window=3).to_pandas()
+    sl = sl.sort_values("event_id", ignore_index=True)
+    assert list(sl["sliding_avg"]) == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
