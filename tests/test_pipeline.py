@@ -110,3 +110,25 @@ def test_manifest_record_roundtrip(tmp_path):
     assert back == rec
     assert m.is_done(3)
     assert not m.is_done(4)
+
+
+def test_encode_deterministic_across_runs(ray_session, web_dir, tmp_path):
+    """Two independent runs over the same input produce byte-identical
+    encoded partition files — the property that makes plans (and therefore
+    compressed size + bit-identity checks) agree between the N-CPU and
+    4N-CPU scaling runs (SURVEY.md §7.4): partition ids derive from sorted
+    paths + row groups, and all per-partition state (sketches, FSST tables)
+    derives deterministically from the partition's own first rows."""
+    from pathlib import Path
+
+    outs = []
+    for run in ("a", "b"):
+        out = tmp_path / f"det_{run}"
+        encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+        outs.append(out)
+    parts_a = sorted(Path(outs[0]).glob("part-*.parquet"))
+    parts_b = sorted(Path(outs[1]).glob("part-*.parquet"))
+    assert len(parts_a) == len(parts_b) > 1
+    for pa_, pb_ in zip(parts_a, parts_b):
+        assert pa_.name == pb_.name
+        assert pa_.read_bytes() == pb_.read_bytes(), pa_.name
