@@ -105,6 +105,13 @@ def _orders_urgent(sf_dir: str):
     return filter_orders_by_priority(_read(sf_dir, "orders"), "1-URGENT")
 
 
+def _ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard >= 0.2 (the non-LSH baseline for minhash)."""
+    from nem_mms_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.2)
+
+
 def _exact_dedup_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import exact_dedup
 
@@ -448,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fp_docs": _rolling_fp_docs,
         # dedup family
         "exact_dedup_docs": _exact_dedup_docs,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "minhash_pairs": _minhash_pairs,
         "simhash_docs": _simhash_docs,
         "embedding_near_pairs": _embedding_near_pairs,
@@ -659,6 +667,36 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT md5(coalesce(text, '')) AS fp, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(coalesce(text, ''))
+        """,
+        "ngram_jaccard_pairs": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) = 0 THEN []
+                            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+                       END AS grams
+                FROM w
+            ), g AS (
+                SELECT DISTINCT doc_id, unnest(grams) AS gram FROM t
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT inter.a, inter.b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.a
+            JOIN sz sb ON sb.doc_id = inter.b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
         """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,

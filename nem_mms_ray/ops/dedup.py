@@ -238,6 +238,70 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands")).select_columns(["a", "b"])
 
 
+def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 256):
+    """EXACT n-gram Jaccard pairs (no LSH): Dataset[(a, b, jaccard)], a < b.
+
+    Distributed shape: explode (gram, doc) -> group by gram (coarse-bucketed
+    like the LSH path) -> per-gram doc pairs -> sum shared-gram counts per
+    pair (= |intersection|, grams are distinct per doc) -> jaccard against
+    broadcast per-doc set sizes.  Only intersecting pairs materialize, so
+    cost scales with gram sharing, not n^2; docs without grams produce no
+    rows.  The DuckDB oracle mirrors this over the literal gram strings."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        sets = _batch_word_ngrams(batch.column(text_col).to_pylist(), ngram)
+        counts = np.array([len(s) for s in sets], np.int64)
+        grams = np.concatenate(sets) if sets else np.zeros(0, np.uint64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, counts)),
+            "gram": pa.array(grams.view(np.int64)),
+            "bucket": pa.array((grams % n_buckets).astype(np.int32)),
+        })
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_n = [], [], []
+        for _, sub in g.groupby("gram"):
+            u = np.sort(sub[id_col].unique())
+            if len(u) < 2:
+                continue
+            ai, bi = np.triu_indices(len(u), k=1)
+            out_a.append(u[ai])
+            out_b.append(u[bi])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        return df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    sizes = exploded.groupby(id_col).count().to_pandas()
+    size_ref = ray.put(dict(zip(sizes[id_col].astype(int), sizes["count()"].astype(int))))
+    inter = (
+        exploded.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="inter"))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        sz = ray.get(size_ref)
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        i = np.asarray(batch.column("inter"), dtype=np.int64)
+        na = np.array([sz[int(x)] for x in a], np.int64)
+        nb = np.array([sz[int(x)] for x in b], np.int64)
+        j = i / (na + nb - i)
+        keep = j >= threshold
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "jaccard": pa.array(np.round(j[keep], 6))})
+
+    return inter.map_batches(score, batch_format="pyarrow")
+
+
 def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
     sa, sb = _word_ngrams(text_a, ngram), _word_ngrams(text_b, ngram)
     if len(sa) == 0 and len(sb) == 0:

@@ -283,3 +283,16 @@ def test_sessionize_and_sliding_avg(ray_session):
     sl = events_sliding_avg(rd.from_pandas(df), window=3).to_pandas()
     sl = sl.sort_values("event_id", ignore_index=True)
     assert list(sl["sliding_avg"]) == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_ngram_jaccard_pairs_exact(docs_ds):
+    from nem_mms_ray.ops.dedup import jaccard, ngram_jaccard_pairs
+
+    ds, df = docs_ds
+    pairs = ngram_jaccard_pairs(ds, threshold=0.7).to_pandas()
+    got = {(int(a), int(b)): j for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])}
+    assert (10, 50) in got and got[(10, 50)] == 1.0
+    assert (20, 60) in got
+    # the pairwise score matches the scalar jaccard() on the same texts
+    expect = round(jaccard(df["text"][20], df["text"][60]), 6)
+    assert got[(20, 60)] == expect
