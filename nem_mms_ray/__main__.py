@@ -23,17 +23,19 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
+    """Own a session only if none exists (never tear down a caller's)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         kw = {"num_cpus": num_cpus} if num_cpus else {}
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR", **kw)
-    return ray
+    return ray, owned
 
 
 def cmd_encode(args) -> int:
-    ray = _init_ray(args.num_cpus)
+    ray, owned = _init_ray(args.num_cpus)
     from nem_mms_ray.pipelines.encode import encode_files
     from nem_mms_ray.state.manifest import Manifest
 
@@ -42,12 +44,13 @@ def cmd_encode(args) -> int:
     summ = Manifest(args.out).summary()
     print(json.dumps({"partitions_run": len(df),
                       "skipped": int(df["skipped"].sum()), **summ}))
-    ray.shutdown()
+    if owned:
+        ray.shutdown()
     return 0
 
 
 def cmd_verify(args) -> int:
-    ray = _init_ray(args.num_cpus)
+    ray, owned = _init_ray(args.num_cpus)
     from nem_mms_ray.pipelines.decode import verify_files
 
     df = verify_files(args.inputs, args.out,
@@ -55,7 +58,8 @@ def cmd_verify(args) -> int:
     ok = bool(df["ok"].all())
     bad = df.loc[~df["ok"], ["pid", "mismatched_columns"]].to_dict("records")
     print(json.dumps({"partitions": len(df), "ok": ok, "mismatches": bad}))
-    ray.shutdown()
+    if owned:
+        ray.shutdown()
     return 0 if ok else 1
 
 

@@ -1,0 +1,40 @@
+"""Engine CLI tests (the reference's CLI surface, /root/reference/src/main.rs)."""
+
+import json
+
+from nem_mms_ray.__main__ import main
+
+
+def test_cli_gen_encode_verify_describe(ray_session, tmp_path, capsys):
+    web = tmp_path / "web"
+    out = tmp_path / "enc"
+
+    assert main(["gen", "-o", str(web), "--rows", "2000", "--shard-rows", "1000"]) == 0
+    gen = json.loads(capsys.readouterr().out.strip())
+    assert gen["rows"] == 2000 and gen["files"] == 2
+
+    inputs = sorted(str(p) for p in web.glob("*.parquet"))
+    assert main(["encode", *inputs, "-o", str(out), "--target-mb", "1"]) == 0
+    enc = json.loads(capsys.readouterr().out.strip())
+    assert enc["rows"] == 2000 and enc["done"] == enc["partitions"] > 1
+
+    assert main(["verify", *inputs, "-o", str(out), "--target-mb", "1"]) == 0
+    ver = json.loads(capsys.readouterr().out.strip())
+    assert ver["ok"] is True and ver["mismatches"] == []
+
+    assert main(["describe", str(out)]) == 0
+    desc = json.loads(capsys.readouterr().out.strip())
+    assert set(desc["codecs"]) >= {"plain", "for", "bitpack", "delta", "alp",
+                                   "dict", "rle", "fsst"}
+    assert desc["manifest"]["rows"] == 2000
+    assert desc["columns"]["lang"]["codec"] == "dict"
+
+    # resume: re-encode skips every done partition
+    assert main(["encode", *inputs, "-o", str(out), "--target-mb", "1"]) == 0
+    again = json.loads(capsys.readouterr().out.strip())
+    assert again["skipped"] == enc["partitions"]
+
+    # CLI must not tear down the caller's (the test session's) ray
+    import ray
+
+    assert ray.is_initialized()
