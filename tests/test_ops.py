@@ -285,14 +285,25 @@ def test_sessionize_and_sliding_avg(ray_session):
     assert list(sl["sliding_avg"]) == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
 
 
-def test_ngram_jaccard_pairs_exact(docs_ds):
+def test_ngram_jaccard_pairs_exact(ray_session):
+    # dedicated corpus with a wide vocab: the shared docs_ds fixture's
+    # 8-word vocab makes every gram co-occur in ~all docs, which is the
+    # documented quadratic worst case for exact all-pairs jaccard
+    import ray.data as rd
+
     from nem_mms_ray.ops.dedup import jaccard, ngram_jaccard_pairs
 
-    ds, df = docs_ds
-    pairs = ngram_jaccard_pairs(ds, threshold=0.7).to_pandas()
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(80)]
+    texts[40] = texts[7]                        # exact dup
+    w = texts[12].split(); w[3] = "CHANGED"     # near dup
+    texts[55] = " ".join(w)
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+    pairs = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.7).to_pandas()
     got = {(int(a), int(b)): j for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])}
-    assert (10, 50) in got and got[(10, 50)] == 1.0
-    assert (20, 60) in got
+    assert (7, 40) in got and got[(7, 40)] == 1.0
+    assert (12, 55) in got
     # the pairwise score matches the scalar jaccard() on the same texts
-    expect = round(jaccard(df["text"][20], df["text"][60]), 6)
-    assert got[(20, 60)] == expect
+    expect = round(jaccard(df["text"][12], df["text"][55]), 6)
+    assert got[(12, 55)] == expect
