@@ -5,6 +5,12 @@
  * most 255 symbols of 1..8 bytes; output bytes are either a symbol code or
  * the escape byte 255 followed by a literal. Greedy longest-match encoding.
  *
+ * Lookup structure (paper-style, exactness preserved): every candidate of
+ * length >= 3 at a position shares its first 3 bytes, so one hash on that
+ * 3-byte prefix selects a bucket whose entries are walked in descending
+ * length order — the first masked 8-byte compare that hits IS the longest
+ * match. Length-2 symbols use a direct 64K table, length-1 a 256 table.
+ *
  * Table construction/training happens in Python (numpy); these kernels only
  * run the per-byte loops that Python cannot do fast.
  */
@@ -12,33 +18,29 @@
 #include <string.h>
 
 #define ESCAPE 255
-#define HCAP 1024
-#define HMASK (HCAP - 1)
+#define NBUCKET 2048            /* power of two */
+#define BMASK (NBUCKET - 1)
 
 typedef struct {
-    uint16_t byte_code[256];
-    /* len-2 symbols: direct-mapped on the two bytes (no hashing) */
-    uint16_t two_code[65536];
-    uint64_t keys[7][HCAP];
-    uint16_t codes[7][HCAP];
-    uint8_t used[7][HCAP];
-    uint8_t has_len;
-    /* bit (len-2) set iff some symbol of that len starts with this byte:
-     * prunes the per-position probe loop to lengths that can match at all */
-    uint8_t first_len_mask[256];
+    uint16_t byte_code[256];    /* len-1 symbols */
+    uint16_t two_code[65536];   /* len-2 symbols, direct-mapped */
+    uint16_t b_start[NBUCKET + 1]; /* prefix sums into order[] */
+    uint8_t order[256];         /* len>=3 codes sorted by (bucket, -len) */
+    uint64_t sym_le[256];       /* symbol bytes little-endian, zero padded */
+    uint8_t sym_len[256];
     int max_len;
 } SymTable;
 
-static inline uint64_t load_prefix(const uint8_t *p, int len) {
-    uint64_t v = 0;
-    for (int i = 0; i < len; i++) v = (v << 8) | p[i];
-    return v;
+static inline uint32_t hash3(const uint8_t *p) {
+    uint32_t x = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+    return (x * 0x9E3779B1u >> 17) & BMASK;
 }
 
-static inline uint32_t hash64(uint64_t x) {
-    x *= 0x9E3779B97F4A7C15ULL;
-    return (uint32_t)(x >> 54) & HMASK;
-}
+static const uint64_t LEN_MASK[9] = {
+    0, 0xFFull, 0xFFFFull, 0xFFFFFFull, 0xFFFFFFFFull,
+    0xFFFFFFFFFFull, 0xFFFFFFFFFFFFull, 0xFFFFFFFFFFFFFFull,
+    0xFFFFFFFFFFFFFFFFull,
+};
 
 static void build_table(SymTable *t, const uint8_t *sym_bytes,
                         const uint8_t *sym_lens, int n_sym) {
@@ -46,77 +48,87 @@ static void build_table(SymTable *t, const uint8_t *sym_bytes,
     for (int i = 0; i < 256; i++) t->byte_code[i] = 0xFFFF;
     memset(t->two_code, 0xFF, sizeof(t->two_code));
     t->max_len = 1;
-    for (int s = 0; s < n_sym; s++) {
+
+    uint16_t bucket_of[256];
+    uint16_t counts[NBUCKET];
+    memset(counts, 0, sizeof(counts));
+    for (int s = 0; s < n_sym && s < 256; s++) {
         int len = sym_lens[s];
         const uint8_t *p = sym_bytes + s * 8;
+        uint64_t le = 0;
+        memcpy(&le, p, 8);      /* rows are zero padded to 8 */
+        t->sym_le[s] = le & LEN_MASK[len];
+        t->sym_len[s] = (uint8_t)len;
+        if (len > t->max_len) t->max_len = len;
         if (len == 1) { t->byte_code[p[0]] = (uint16_t)s; continue; }
         if (len == 2) {
             t->two_code[((uint32_t)p[0] << 8) | p[1]] = (uint16_t)s;
-            t->first_len_mask[p[0]] |= 1;
-            if (len > t->max_len) t->max_len = len;
             continue;
         }
-        int li = len - 2;
-        uint64_t key = load_prefix(p, len);
-        uint32_t h = hash64(key ^ ((uint64_t)len << 56));
-        while (t->used[li][h]) h = (h + 1) & HMASK;
-        t->used[li][h] = 1;
-        t->keys[li][h] = key;
-        t->codes[li][h] = (uint16_t)s;
-        t->has_len |= (uint8_t)(1 << li);
-        t->first_len_mask[p[0]] |= (uint8_t)(1 << li);
-        if (len > t->max_len) t->max_len = len;
+        bucket_of[s] = (uint16_t)hash3(p);
+        counts[bucket_of[s]]++;
+    }
+    /* prefix sums */
+    uint32_t acc = 0;
+    for (int b = 0; b < NBUCKET; b++) {
+        t->b_start[b] = (uint16_t)acc;
+        acc += counts[b];
+    }
+    t->b_start[NBUCKET] = (uint16_t)acc;
+    uint16_t fill[NBUCKET];
+    memcpy(fill, t->b_start, sizeof(fill));
+    for (int s = 0; s < n_sym && s < 256; s++) {
+        if (sym_lens[s] < 3) continue;
+        uint16_t b = bucket_of[s];
+        /* insertion sort within the bucket: longest first; ties keep the
+         * lower code first (two equal-length symbols are never equal bytes,
+         * so tie order cannot change which one matches) */
+        int pos = fill[b]++;
+        while (pos > t->b_start[b] &&
+               t->sym_len[t->order[pos - 1]] < sym_lens[s]) {
+            t->order[pos] = t->order[pos - 1];
+            pos--;
+        }
+        t->order[pos] = (uint8_t)s;
     }
 }
 
-static inline int lookup(const SymTable *t, int len, uint64_t key) {
-    int li = len - 2;
-    if (!(t->has_len & (1 << li))) return -1;
-    uint32_t h = hash64(key ^ ((uint64_t)len << 56));
-    while (t->used[li][h]) {
-        if (t->keys[li][h] == key) return t->codes[li][h];
-        h = (h + 1) & HMASK;
-    }
-    return -1;
-}
-
-/* out must have capacity >= 2*n. Returns bytes written. */
-long fsst_encode(const uint8_t *sym_bytes, const uint8_t *sym_lens, int n_sym,
-                 const uint8_t *in, long n, uint8_t *out) {
-    SymTable t;
-    build_table(&t, sym_bytes, sym_lens, n_sym);
-    long o = 0, i = 0;
+static inline long encode_span(const SymTable *t, const uint8_t *in, long i,
+                               long n, long safe_n, uint8_t *out, long o_in) {
+    /* encode positions i..n; unaligned 8-byte loads allowed up to safe_n */
+    long o = o_in;
     while (i < n) {
-        long rem = n - i;
-        int maxl = t.max_len < rem ? t.max_len : (int)rem;
-        int code = -1, mlen = 1;
         const uint8_t *p = in + i;
-        /* candidate lengths = lengths of symbols starting with p[0], capped
-         * by rem; typically 0-2 bits set, so most positions hash 0-2 times */
-        uint8_t m = (maxl >= 2)
-            ? (uint8_t)(t.first_len_mask[p[0]] & ((1u << (maxl - 1)) - 1u))
-            : 0;
-        if (m) {
-            int toplen = 31 - __builtin_clz(m) + 2;
-            uint64_t key = ((uint64_t)p[0] << 8) | p[1];
-            uint64_t pv[9];
-            pv[2] = key;
-            for (int len = 3; len <= toplen; len++) {
-                key = (key << 8) | p[len - 1];
-                pv[len] = key;
-            }
-            for (int len = toplen; len >= 3; len--) {
-                if (!(m & (1u << (len - 2)))) continue;
-                int c = lookup(&t, len, pv[len]);
-                if (c >= 0) { code = c; mlen = len; break; }
-            }
-            if (code < 0 && (m & 1)) {  /* len-2: direct-mapped, no hash */
-                uint16_t c2 = t.two_code[(uint32_t)pv[2]];
-                if (c2 != 0xFFFF) { code = c2; mlen = 2; }
+        long rem = n - i;
+        int code = -1, mlen = 1;
+        if (rem >= 3) {
+            uint32_t h = hash3(p);
+            int k = t->b_start[h], end = t->b_start[h + 1];
+            if (k < end) {
+                uint64_t v;
+                if (i + 8 <= safe_n) {
+                    memcpy(&v, p, 8);
+                } else {
+                    uint8_t tmp[8] = {0};
+                    memcpy(tmp, p, rem < 8 ? (size_t)rem : 8);
+                    memcpy(&v, tmp, 8);
+                }
+                for (; k < end; k++) {
+                    int s = t->order[k];
+                    int len = t->sym_len[s];
+                    if (len > rem) continue;
+                    if ((v & LEN_MASK[len]) == t->sym_le[s]) {
+                        code = s; mlen = len; break;
+                    }
+                }
             }
         }
+        if (code < 0 && rem >= 2) {
+            uint16_t c2 = t->two_code[((uint32_t)p[0] << 8) | p[1]];
+            if (c2 != 0xFFFF) { code = c2; mlen = 2; }
+        }
         if (code < 0) {
-            uint16_t c1 = t.byte_code[p[0]];
+            uint16_t c1 = t->byte_code[p[0]];
             if (c1 != 0xFFFF) out[o++] = (uint8_t)c1;
             else { out[o++] = ESCAPE; out[o++] = p[0]; }
         } else {
@@ -125,6 +137,14 @@ long fsst_encode(const uint8_t *sym_bytes, const uint8_t *sym_lens, int n_sym,
         i += mlen;
     }
     return o;
+}
+
+/* out must have capacity >= 2*n. Returns bytes written. */
+long fsst_encode(const uint8_t *sym_bytes, const uint8_t *sym_lens, int n_sym,
+                 const uint8_t *in, long n, uint8_t *out) {
+    SymTable t;
+    build_table(&t, sym_bytes, sym_lens, n_sym);
+    return encode_span(&t, in, 0, n, n, out, 0);
 }
 
 /* out must have capacity >= 8*n + 8 (symbols copied 8-wide). */
