@@ -11,6 +11,7 @@ Owns its Ray session (library code never calls ray.init — driver contract).
 Usage:
   python -m nem_mms_ray encode IN.parquet [IN2...] -o OUT_DIR [--target-mb 64]
   python -m nem_mms_ray verify IN.parquet [IN2...] -o OUT_DIR [--target-mb 64]
+  python -m nem_mms_ray decode OUT_DIR -o PLAIN_DIR
   python -m nem_mms_ray describe OUT_DIR
   python -m nem_mms_ray gen -o DIR --rows 50000
 """
@@ -61,6 +62,17 @@ def cmd_verify(args) -> int:
     if owned:
         ray.shutdown()
     return 0 if ok else 1
+
+
+def cmd_decode(args) -> int:
+    ray, owned = _init_ray(args.num_cpus)
+    from nem_mms_ray.pipelines.decode import decode_files
+
+    df = decode_files(args.enc_dir, args.out).to_pandas()
+    print(json.dumps({"partitions": len(df), "rows": int(df["rows"].sum())}))
+    if owned:
+        ray.shutdown()
+    return 0
 
 
 def cmd_describe(args) -> int:
@@ -117,6 +129,12 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--target-mb", type=int, default=64)
     pv.add_argument("--num-cpus", type=int, default=None)
     pv.set_defaults(fn=cmd_verify)
+
+    pdc = sub.add_parser("decode", help="decode encoded partitions back to plain parquet")
+    pdc.add_argument("enc_dir")
+    pdc.add_argument("-o", "--out", required=True)
+    pdc.add_argument("--num-cpus", type=int, default=None)
+    pdc.set_defaults(fn=cmd_decode)
 
     pd_ = sub.add_parser("describe", help="codec registry + manifest metrics")
     pd_.add_argument("out_dir", nargs="?", default=None)

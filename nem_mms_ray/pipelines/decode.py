@@ -47,6 +47,40 @@ def decode_partition_file(encoded_path: str | Path) -> pa.Table:
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
+def _decode_task(batch: pa.Table, *, enc_dir: str, out_dir: str) -> pa.Table:
+    """Decode encoded partition files back to plain parquet (one part per
+    pid, deterministic names -> resumable like the encode side)."""
+    out = []
+    for row in batch.to_pylist():
+        pid = int(row["pid"])
+        src = Path(enc_dir) / f"part-{pid:06d}.parquet"
+        tgt = Path(out_dir) / f"part-{pid:06d}.parquet"
+        tgt.parent.mkdir(parents=True, exist_ok=True)
+        t = decode_partition_file(src)
+        pq.write_table(t, tgt)
+        out.append({"pid": pid, "rows": t.num_rows, "output_file": str(tgt)})
+    return pa.Table.from_pylist(out)
+
+
+def decode_files(enc_dir: str | Path, out_dir: str | Path):
+    """Ray pipeline: every encoded partition under `enc_dir` -> plain
+    parquet under `out_dir`.  Returns a lazy Dataset of per-partition rows.
+    The inverse of `encode_files` for consumers that want the original
+    columnar data back without the codec layer."""
+    import functools
+
+    import ray.data as rd
+
+    pids = sorted(
+        int(p.stem.split("-")[1]) for p in Path(enc_dir).glob("part-*.parquet")
+    )
+    if not pids:
+        raise ValueError(f"no encoded partitions under {enc_dir}")
+    ds = rd.from_items([{"pid": p} for p in pids], override_num_blocks=len(pids))
+    fn = functools.partial(_decode_task, enc_dir=str(enc_dir), out_dir=str(out_dir))
+    return ds.map_batches(fn, batch_size=1, batch_format="pyarrow", num_cpus=1)
+
+
 class VerifyPartitions:
     """Actor-pool callable: spec rows -> per-partition verification rows."""
 

@@ -29,6 +29,17 @@ def test_cli_gen_encode_verify_describe(ray_session, tmp_path, capsys):
     assert desc["manifest"]["rows"] == 2000
     assert desc["columns"]["lang"]["codec"] == "dict"
 
+    # decode back to plain parquet; full content equality with the input
+    import pyarrow.parquet as pq
+
+    plain = tmp_path / "plain"
+    assert main(["decode", str(out), "-o", str(plain)]) == 0
+    dec = json.loads(capsys.readouterr().out.strip())
+    assert dec["rows"] == 2000
+    a = pq.read_table(web).sort_by("url")
+    b = pq.read_table(plain).sort_by("url").select(a.column_names).cast(a.schema)
+    assert a.equals(b)
+
     # resume: re-encode skips every done partition
     assert main(["encode", *inputs, "-o", str(out), "--target-mb", "1"]) == 0
     again = json.loads(capsys.readouterr().out.strip())
