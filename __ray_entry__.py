@@ -23,10 +23,14 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """read_parquet with read-time column pruning: only the columns the
+    pipeline touches leave storage (row groups of unlisted columns are
+    never fetched) — the scale rule for every non-encode query.  Encode
+    queries intentionally read every column (they encode them all)."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -72,25 +76,26 @@ def entry() -> Any:
 def _pricing_summary(sf_dir: str):
     from nem_mms_ray.ops.relational import pricing_summary
 
-    return pricing_summary(_read(sf_dir, "lineitem"))
+    return pricing_summary(_read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]))
 
 
 def _revenue_by_segment(sf_dir: str):
     from nem_mms_ray.ops.relational import revenue_by_segment
 
-    return revenue_by_segment(_read(sf_dir, "orders"), _read(sf_dir, "customer"))
+    return revenue_by_segment(_read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+                              _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
 
 
 def _top_users(sf_dir: str):
     from nem_mms_ray.ops.relational import top_users_by_events
 
-    return top_users_by_events(_read(sf_dir, "events"), k=10)
+    return top_users_by_events(_read(sf_dir, "events", ["user_id", "event_id"]), k=10)
 
 
 def _events_per_user_hour(sf_dir: str):
     from nem_mms_ray.ops.relational import events_per_user_hour
 
-    ds = events_per_user_hour(_read(sf_dir, "events"))
+    ds = events_per_user_hour(_read(sf_dir, "events", ["user_id", "ts", "event_id"]))
 
     def cast_us(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("hour")
@@ -109,13 +114,13 @@ def _ngram_jaccard_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard >= 0.2 (the non-LSH baseline for minhash)."""
     from nem_mms_ray.ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.2)
+    return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.2)
 
 
 def _exact_dedup_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import exact_dedup
 
-    return exact_dedup(_read(sf_dir, "documents"))
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _token_stats(sf_dir: str):
@@ -134,25 +139,25 @@ def _token_stats(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents").map_batches(ints_only, batch_format="pyarrow")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(ints_only, batch_format="pyarrow")
 
 
 def _quality_docs(sf_dir: str):
     from nem_mms_ray.ops.textstats import quality_score_batch
 
-    return _read(sf_dir, "documents").map_batches(quality_score_batch, batch_format="pyarrow")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(quality_score_batch, batch_format="pyarrow")
 
 
 def _fingerprint_docs(sf_dir: str):
     from nem_mms_ray.ops.textstats import fingerprint_batch
 
-    return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
 def _column_stats_docs(sf_dir: str):
     """Exact per-column stats feeding the codec selector (SQL-checkable
     analog of stats.sketch_array)."""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["lang", "source"])
     rows = []
     for col in ("lang", "source"):
         one = ds.select_columns([col])
@@ -171,7 +176,7 @@ def _column_stats_docs(sf_dir: str):
 def _selector_decision_docs(sf_dir: str):
     """Integer-arithmetic decision surface mirrored in SQL: dict when
     ndv*20 <= n, else fsst when total_bytes >= 16*n, else plain."""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["text", "lang", "source"])
     rows = []
     for col in ("text", "lang", "source"):
         one = ds.select_columns([col])
@@ -195,7 +200,7 @@ def _for_plan_events(sf_dir: str):
     """FOR+bitpack plan for events.ts: base/max/width/packed size (ints)."""
     import pyarrow.compute as pc
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["ts"])
 
     def mm(t: pa.Table) -> pa.Table:
         iv = t.column("ts").cast(pa.int64())
@@ -219,13 +224,13 @@ def _embedding_pairs_exact(sf_dir: str):
     baseline for the LSH near-dup scale path)."""
     from nem_mms_ray.ops.ann import cosine_pairs_exact
 
-    return cosine_pairs_exact(_read(sf_dir, "embeddings"), threshold=0.4)
+    return cosine_pairs_exact(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
 
 
 def _ann_topk(sf_dir: str):
     from nem_mms_ray.ops.ann import topk_cosine
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = None
     for batch in iter(ds.iter_batches(batch_size=256, batch_format="pyarrow")):
         ids = batch.column("vec_id").to_pylist()
@@ -245,25 +250,25 @@ def _ann_topk(sf_dir: str):
 def _minhash_pairs(sf_dir: str):
     from nem_mms_ray.ops.dedup import minhash_dedup
 
-    return minhash_dedup(_read(sf_dir, "documents"), threshold=0.8)
+    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
 
 
 def _simhash_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import simhash_batch
 
-    return _read(sf_dir, "documents").map_batches(simhash_batch, batch_format="pyarrow")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(simhash_batch, batch_format="pyarrow")
 
 
 def _embedding_near_pairs(sf_dir: str):
     from nem_mms_ray.ops.dedup import embedding_near_pairs
 
-    return embedding_near_pairs(_read(sf_dir, "embeddings"), threshold=0.95)
+    return embedding_near_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
 
 
 def _lang_id_docs(sf_dir: str):
     from nem_mms_ray.ops.textstats import LangId
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=2, num_cpus=1
     )
 
@@ -271,7 +276,7 @@ def _lang_id_docs(sf_dir: str):
 def _rolling_fp_docs(sf_dir: str):
     from nem_mms_ray.ops.textstats import rolling_fingerprint_batch
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         rolling_fingerprint_batch, batch_format="pyarrow"
     )
 
@@ -279,7 +284,7 @@ def _rolling_fp_docs(sf_dir: str):
 def _ivf_ann_topk(sf_dir: str):
     from nem_mms_ray.ops.ann import ivf_topk_cosine
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = None
     for batch in iter(ds.iter_batches(batch_size=256, batch_format="pyarrow")):
         ids = batch.column("vec_id").to_pylist()
@@ -333,7 +338,7 @@ def _media_features_docs(sf_dir: str):
         payload = t.column("text").cast(pa.binary())
         return pa.table({"doc_id": t.column("doc_id"), "payload": payload})
 
-    ds = _read(sf_dir, "documents").map_batches(to_binary, batch_format="pyarrow")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(to_binary, batch_format="pyarrow")
     feats = extract_features(ds, payload_col="payload", concurrency=2)
 
     def summarize(t: pa.Table) -> pa.Table:
@@ -353,13 +358,14 @@ def _media_features_docs(sf_dir: str):
 def _events_running_seq(sf_dir: str):
     from nem_mms_ray.ops.relational import events_running_seq
 
-    return events_running_seq(_read(sf_dir, "events"))
+    return events_running_seq(_read(sf_dir, "events", ["user_id", "event_id", "ts"]))
 
 
 def _events_sessionize(sf_dir: str):
     from nem_mms_ray.ops.relational import sessionize_events
 
-    ds = sessionize_events(_read(sf_dir, "events"), gap_minutes=30)
+    ds = sessionize_events(_read(sf_dir, "events", ["user_id", "event_id", "ts"]),
+                           gap_minutes=30)
     return ds.select_columns(
         ["user_id", "session_id", "session_start", "session_end", "n_events"]
     )
@@ -368,7 +374,9 @@ def _events_sessionize(sf_dir: str):
 def _events_sliding_avg(sf_dir: str):
     from nem_mms_ray.ops.relational import events_sliding_avg
 
-    return events_sliding_avg(_read(sf_dir, "events"), window=3).select_columns(
+    return events_sliding_avg(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]), window=3
+    ).select_columns(
         ["user_id", "event_id", "sliding_avg"]
     )
 
@@ -376,19 +384,21 @@ def _events_sliding_avg(sf_dir: str):
 def _event_type_value_stats(sf_dir: str):
     from nem_mms_ray.ops.relational import event_type_value_stats
 
-    return event_type_value_stats(_read(sf_dir, "events"))
+    return event_type_value_stats(
+        _read(sf_dir, "events", ["event_type", "value", "event_id"]))
 
 
 def _customers_per_nation(sf_dir: str):
     from nem_mms_ray.ops.relational import customers_per_nation
 
-    return customers_per_nation(_read(sf_dir, "customer"), _read(sf_dir, "nation"))
+    return customers_per_nation(_read(sf_dir, "customer", ["c_nationkey"]),
+                                _read(sf_dir, "nation"))
 
 
 def _lineitem_revenue(sf_dir: str):
     from nem_mms_ray.ops.relational import lineitem_revenue
 
-    return lineitem_revenue(_read(sf_dir, "lineitem"))
+    return lineitem_revenue(_read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"]))
 
 
 def _embedding_norms(sf_dir: str):
@@ -398,7 +408,7 @@ def _embedding_norms(sf_dir: str):
         return pa.table({"vec_id": t.column("vec_id"),
                          "norm": pa.array(n, pa.float64())})
 
-    return _read(sf_dir, "embeddings").map_batches(norms, batch_format="pyarrow")
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(norms, batch_format="pyarrow")
 
 
 def _mms_parse_demo(sf_dir: str):
