@@ -167,14 +167,15 @@ def run_bench() -> dict:
             .append_column("lang_pred", li.column("lang_pred"))
         )
 
-    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     n = docs.map_batches(fused_text, batch_format="pyarrow", batch_size=1024).count()
     queries["text_pipeline"] = round(time.monotonic() - t0, 3)
     extras["text_docs"] = n
 
     # --- minhash near-dup over documents ----------------------------------
     t0 = time.monotonic()
-    pairs = minhash_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet"), threshold=0.8)
+    pairs = minhash_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                          columns=["doc_id", "text"]), threshold=0.8)
     extras["minhash_pairs"] = pairs.count()
     queries["dedup_minhash"] = round(time.monotonic() - t0, 3)
 
@@ -195,7 +196,7 @@ def run_bench() -> dict:
 
     # --- ANN top-k over embeddings ----------------------------------------
     t0 = time.monotonic()
-    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     first = next(iter(emb.iter_batches(batch_size=64, batch_format="pyarrow")))
     qv = np.asarray(first.column("embedding").to_pylist()[0], np.float64)
     topk_cosine(emb, qv, k=10, concurrency=4)
