@@ -203,16 +203,25 @@ class EncodePartitions:
         from nem_mms_ray.codecs import _fsst_native as _native
         from nem_mms_ray.codecs.fsst import _string_buffers, take_sample, train_symbols
 
+        from nem_mms_ray.selector import ColumnPlan
+
         first = next(pf.iter_batches(batch_size=self.sample_rows,
                                      row_groups=row_groups[:1],
                                      columns=self.columns))
         sample = pa.Table.from_batches([first])
         sketches = {}
         trained = {}
+        ipc_cols = []
         for name in sample.column_names:
             arr = sample.column(name).combine_chunks()
-            sk = sketch_array(name, arr.slice(0, min(len(arr), 2048)),
-                              with_fsst_probe=False)
+            try:
+                sk = sketch_array(name, arr.slice(0, min(len(arr), 2048)),
+                                  with_fsst_probe=False)
+            except Exception:
+                # un-sketchable type (list/struct/map/...): store via the
+                # universal Arrow-IPC fallback instead of aborting the run
+                ipc_cols.append(name)
+                continue
             # train even on small columns (cheap): prefix-heavy short string
             # columns (ids, names) compress well and the measured ratio beats
             # the blind 0.6 default in the fsst estimate
@@ -232,6 +241,8 @@ class EncodePartitions:
                     sk.fsst_ratio = len(_native.encode(*syms, s)) / max(1, len(s))
             sketches[name] = sk
         plans = plan_for_sketches(sketches)
+        for name in ipc_cols:
+            plans[name] = ColumnPlan(column=name, codec="ipc")
         symbols = {n: t for n, t in trained.items() if plans[n].codec == "fsst"}
         return plans, symbols
 
@@ -246,15 +257,19 @@ class EncodePartitions:
         except Exception:
             # robustness split per the reference (unknown/undecodable unit ->
             # skip+record, /root/reference/src/packages/mod.rs:201-216):
-            # fall back to the always-valid plain codec, record the event.
-            ec = get_codec("plain").encode(arr)
+            # fall back to plain, or to the universal IPC codec if even
+            # plain can't represent the type; record the event either way.
+            try:
+                ec = get_codec("plain").encode(arr)
+            except Exception:
+                ec = get_codec("ipc").encode(arr)
             ec.params["fallback_from"] = codec_name
             return ec
         # never-expand guard: a sketch-misjudged codec (e.g. RLE on
         # all-distinct short strings from a tiny sample) must not store more
         # bytes than plain would — compare against the exact plain encoding
         # when the chosen one isn't clearly smaller
-        if codec_name != "plain" and ec.encoded_bytes > 0.9 * arr.nbytes:
+        if codec_name not in ("plain", "ipc") and ec.encoded_bytes > 0.9 * arr.nbytes:
             pe = get_codec("plain").encode(arr)
             if pe.encoded_bytes < ec.encoded_bytes:
                 pe.params["fallback_from"] = codec_name

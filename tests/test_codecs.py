@@ -238,3 +238,41 @@ def test_alp_sketch_merge_invariance():
     # a non-decimal part poisons the merge
     bad = sketch_array("x", pa.array([np.pi]), with_fsst_probe=False)
     assert merge_sketches(parts + [bad]).float_scale is None
+
+
+def test_ipc_fallback_roundtrips_nested_types():
+    """The universal fallback must round-trip types no typed codec covers."""
+    arrays = [
+        pa.array([[1.5, 2.5], None, [], [0.0]], type=pa.list_(pa.float32())),
+        pa.array([{"a": 1, "b": "x"}, None, {"a": 2, "b": None}],
+                 type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        pa.array([[1, 2], [3]], type=pa.list_(pa.int64())),
+    ]
+    for arr in arrays:
+        ec = get_codec("ipc").encode(arr)
+        out = decode_column(ec)
+        assert out.equals(arr), arr.type
+        assert out.null_count == arr.null_count
+
+
+def test_encode_pipeline_handles_list_columns(tmp_path):
+    """A table with a list column encodes via the ipc plan instead of
+    aborting (the embeddings-table case)."""
+    import pyarrow.parquet as pq
+
+    from nem_mms_ray.pipelines.decode import decode_partition_file
+    from nem_mms_ray.pipelines.encode import EncodePartitions, plan_partitions
+
+    t = pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([[float(i), i + 0.5] for i in range(100)],
+                              type=pa.list_(pa.float32())),
+    })
+    src = tmp_path / "emb.parquet"
+    pq.write_table(t, src)
+    specs = plan_partitions([str(src)], target_bytes=1 << 20)
+    enc = EncodePartitions(str(tmp_path / "enc"))
+    r = enc._encode_partition(specs[0])
+    assert r.codecs["embedding"] == "ipc"
+    back = decode_partition_file(tmp_path / "enc" / "part-000000.parquet")
+    assert back.select(["vec_id", "embedding"]).equals(t)
