@@ -145,7 +145,8 @@ def run_bench() -> dict:
     # --- encode the sf tables (documents + lineitem + events) -------------
     enc2 = BENCH_OUT / "encoded_sf"
     shutil.rmtree(enc2, ignore_errors=True)
-    sf_paths = [f"{SF_DIR}/{t}.parquet" for t in ("documents", "lineitem", "events")]
+    sf_paths = [f"{SF_DIR}/{t}.parquet"
+                for t in ("documents", "lineitem", "events", "embeddings")]
     t0 = time.monotonic()
     encode_files(sf_paths, enc2, target_bytes=64 << 20).to_pandas()
     queries["encode_sf_tables"] = round(time.monotonic() - t0, 3)
