@@ -302,3 +302,30 @@ def test_fast_path_matches_row_path():
               b'C,END OF REPORT,3\n')
     p = parse_flatfile_bytes(quoted)
     assert p.tables[0].to_arrow().column("DUID").to_pylist() == ["UNIT,1"]
+
+
+def test_fast_path_edge_cases_match_row_path():
+    """No trailing newline, CRLF, blank line inside a D run, trailing table
+    without EOR, empty input — all parity with the row-by-row path."""
+    from nem_mms_ray.mms.flatfile import _parse_rows
+
+    base = (b"I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE\n"
+            b"D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:40:00,UNIT1,1.5\n"
+            b"D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:45:00,UNIT2,2.5\n"
+            b"C,END OF REPORT,4\n")
+    cases = [
+        base.rstrip(b"\n"),
+        base.replace(b"\n", b"\r\n"),
+        base.replace(b"D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:45:00",
+                     b"\nD,DISPATCH,UNIT_SCADA,1,2021/04/01 04:45:00"),
+        base.rsplit(b"C,", 1)[0],   # trailing table closed by EOF
+        b"",
+        b"C,END OF REPORT,1\n",
+    ]
+    for data in cases:
+        fast, slow = parse_flatfile_bytes(data), _parse_rows(data)
+        assert len(fast.tables) == len(slow.tables)
+        for a, b in zip(fast.tables, slow.tables):
+            assert a.num_data_rows == b.num_data_rows
+            if a.package is not None:
+                assert a.to_arrow().equals(b.to_arrow())
