@@ -50,15 +50,33 @@ def decode_partition_file(encoded_path: str | Path) -> pa.Table:
 def _decode_task(batch: pa.Table, *, enc_dir: str, out_dir: str) -> pa.Table:
     """Decode encoded partition files back to plain parquet (one part per
     pid, deterministic names -> resumable like the encode side)."""
+    import os
+    import tempfile
+
     out = []
     for row in batch.to_pylist():
         pid = int(row["pid"])
         src = Path(enc_dir) / f"part-{pid:06d}.parquet"
         tgt = Path(out_dir) / f"part-{pid:06d}.parquet"
         tgt.parent.mkdir(parents=True, exist_ok=True)
+        if tgt.exists():  # resume: deterministic names, atomic writes below
+            out.append({"pid": pid, "rows": pq.ParquetFile(tgt).metadata.num_rows,
+                        "output_file": str(tgt), "skipped": True})
+            continue
         t = decode_partition_file(src)
-        pq.write_table(t, tgt)
-        out.append({"pid": pid, "rows": t.num_rows, "output_file": str(tgt)})
+        fd, tmp = tempfile.mkstemp(dir=tgt.parent, suffix=".tmp")
+        os.close(fd)
+        try:
+            pq.write_table(t, tmp)
+            os.replace(tmp, tgt)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        out.append({"pid": pid, "rows": t.num_rows, "output_file": str(tgt),
+                    "skipped": False})
     return pa.Table.from_pylist(out)
 
 

@@ -40,6 +40,14 @@ def test_cli_gen_encode_verify_describe(ray_session, tmp_path, capsys):
     b = pq.read_table(plain).sort_by("url").select(a.column_names).cast(a.schema)
     assert a.equals(b)
 
+    # decode resume: second run skips every existing part
+    assert main(["decode", str(out), "-o", str(plain)]) == 0
+    dec2 = json.loads(capsys.readouterr().out.strip())
+    assert dec2["rows"] == 2000
+    from nem_mms_ray.pipelines.decode import decode_files
+
+    assert decode_files(out, plain).to_pandas()["skipped"].all()
+
     # resume: re-encode skips every done partition
     assert main(["encode", *inputs, "-o", str(out), "--target-mb", "1"]) == 0
     again = json.loads(capsys.readouterr().out.strip())
