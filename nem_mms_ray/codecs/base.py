@@ -120,7 +120,7 @@ def ec_from_bytes(buf: bytes) -> EncodedColumn:
     from nem_mms_ray.dtypes import unpack_sections
 
     head_b, payload, validity = unpack_sections(buf)
-    head = json.loads(head_b)
+    head = json.loads(bytes(head_b))  # bytes(): head may be a memoryview slice
     return EncodedColumn(
         codec=head["codec"],
         n=head["n"],

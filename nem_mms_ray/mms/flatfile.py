@@ -154,7 +154,15 @@ def _parse_fast(data: bytes) -> ParsedFlatFile:
     first = np.zeros(n_lines, np.uint8)
     nonempty = starts < ends
     first[nonempty] = buf[starts[nonempty]]
-    is_d = first == np.uint8(68)  # b"D"
+    # A D run line must have first *field* exactly "D" (flatfile.rs:292-294):
+    # require the byte after the tag to be a comma or line end, so e.g.
+    # "DUMMY,..." routes to the non-D loop and raises like the row path.
+    second = np.zeros(n_lines, np.uint8)
+    has2 = starts + 1 < ends
+    second[has2] = buf[np.minimum(starts + 1, len(buf) - 1)][has2]
+    is_d = (first == np.uint8(68)) & (
+        (second == np.uint8(44)) | (second == np.uint8(13)) | ~has2
+    )
 
     tables: list[FlatFileTable] = []
     comments: list[CommentRecord] = []
@@ -203,8 +211,8 @@ def _parse_fast(data: bytes) -> ParsedFlatFile:
         row = next(csv.reader([ln.decode("utf-8", "replace")]))
         if not row:
             continue
-        tag = ln[:1]
-        if tag == b"I":
+        tag = row[0]  # exact first-field match, like _parse_rows
+        if tag == "I":
             if len(row) < 4:
                 raise MmsParseError(f"short information record: {row!r}")
             try:
@@ -220,12 +228,12 @@ def _parse_fast(data: bytes) -> ParsedFlatFile:
                 data_columns=[],
             )
             tables.append(current)
-        elif tag == b"C":
+        elif tag == "C":
             comments.append(_parse_comment(row))
             current = None
         else:
             raise MmsParseError(
-                f"unrecognized record tag {row[0]!r} (expected one of C, I, D)"
+                f"unrecognized record tag {tag!r} (expected one of C, I, D)"
             )
     flush_run(n_lines)
     return ParsedFlatFile(tables=tables, comments=comments)

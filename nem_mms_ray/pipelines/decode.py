@@ -30,14 +30,50 @@ def iter_decoded_chunks(encoded_path: str | Path):
     chunks; a partition file is bounded by the encode target_bytes, and each
     chunk's encoded columns are decoded together then released.
     """
+    import json
+
+    import numpy as np
+
+    def _binary_views(col):
+        """Zero-copy (offsets, data memoryview) over a Binary/LargeBinary
+        column — avoids materializing every multi-MB payload as a Python
+        bytes copy the way to_pylist() would."""
+        arr = col.combine_chunks()
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()
+        offs = np.frombuffer(
+            bufs[1], odt, len(arr) + 1, arr.offset * np.dtype(odt).itemsize
+        )
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        return offs, data
+
     pf = pq.ParquetFile(encoded_path)
     for rg in range(pf.metadata.num_row_groups):
-        rows = pf.read_row_group(rg).to_pylist()
-        by_chunk: dict[int, list[dict]] = {}
-        for row in rows:
-            by_chunk.setdefault(row["chunk_idx"], []).append(row)
+        tbl = pf.read_row_group(rg)
+        chunk_idx = tbl.column("chunk_idx").to_numpy()
+        colname = tbl.column("column").to_pylist()
+        codec = tbl.column("codec").to_pylist()
+        n_vals = tbl.column("n").to_numpy()
+        dtype = tbl.column("dtype").to_pylist()
+        params = tbl.column("params").to_pylist()
+        has_v = tbl.column("has_validity").to_numpy(zero_copy_only=False)
+        po, pm = _binary_views(tbl.column("payload"))
+        vo, vm = _binary_views(tbl.column("validity"))
+        by_chunk: dict[int, list[int]] = {}
+        for i, ci in enumerate(chunk_idx):
+            by_chunk.setdefault(int(ci), []).append(i)
         for ci in sorted(by_chunk):
-            cols = {r["column"]: decode_column(EncodedColumn.from_row(r)) for r in by_chunk[ci]}
+            cols = {}
+            for i in by_chunk[ci]:
+                ec = EncodedColumn(
+                    codec=codec[i],
+                    n=int(n_vals[i]),
+                    dtype=dtype[i],
+                    payload=pm[po[i] : po[i + 1]],
+                    validity=bytes(vm[vo[i] : vo[i + 1]]) if has_v[i] else None,
+                    params=json.loads(params[i]),
+                )
+                cols[colname[i]] = decode_column(ec)
             yield ci, pa.table(cols)
 
 
@@ -59,7 +95,10 @@ def _decode_task(batch: pa.Table, *, enc_dir: str, out_dir: str) -> pa.Table:
         src = Path(enc_dir) / f"part-{pid:06d}.parquet"
         tgt = Path(out_dir) / f"part-{pid:06d}.parquet"
         tgt.parent.mkdir(parents=True, exist_ok=True)
-        if tgt.exists():  # resume: deterministic names, atomic writes below
+        # resume: deterministic names + atomic writes, but only reuse an
+        # existing output that is no older than its encoded source (a
+        # re-encoded partition invalidates the stale decode)
+        if tgt.exists() and tgt.stat().st_mtime >= src.stat().st_mtime:
             out.append({"pid": pid, "rows": pq.ParquetFile(tgt).metadata.num_rows,
                         "output_file": str(tgt), "skipped": True})
             continue

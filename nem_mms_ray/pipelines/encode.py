@@ -282,7 +282,7 @@ class EncodePartitions:
         # out_dir that the driver removed between runs
         self.out_dir.mkdir(parents=True, exist_ok=True)
         out_path = self.out_dir / f"part-{spec.pid:06d}.parquet"
-        if self.manifest.is_done(spec.pid):
+        if self.manifest.is_done(spec.pid, spec.path, spec.row_groups):
             return PartitionResult(pid=spec.pid, skipped=True)
 
         pf = pq.ParquetFile(spec.path)

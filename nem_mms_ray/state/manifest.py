@@ -54,15 +54,30 @@ class Manifest:
     def record_path(self, pid: int) -> Path:
         return self.dir / f"part-{pid:06d}.json"
 
-    def is_done(self, pid: int) -> bool:
+    def is_done(
+        self,
+        pid: int,
+        input_file: str | None = None,
+        row_groups: list[int] | None = None,
+    ) -> bool:
+        """True iff partition `pid` completed AND (when given) the stored
+        lineage matches the current plan — re-running into the same out_dir
+        with different inputs or target_bytes re-encodes instead of silently
+        reusing a stale partition."""
         p = self.record_path(pid)
         if not p.exists():
             return False
         try:
             rec = self.load(pid)
-        except (json.JSONDecodeError, OSError):
+        except (json.JSONDecodeError, OSError, TypeError):
             return False
-        return rec.done and (not rec.output_file or Path(rec.output_file).exists())
+        if not rec.done:
+            return False
+        if input_file is not None and rec.input_file != str(input_file):
+            return False
+        if row_groups is not None and list(rec.row_groups) != list(row_groups):
+            return False
+        return not rec.output_file or Path(rec.output_file).exists()
 
     def write(self, rec: PartitionRecord) -> None:
         self.init()

@@ -97,6 +97,20 @@ def test_data_before_header_skipped_and_unknown_tag_errors():
         parse_flatfile_bytes(b"X,foo\n")
 
 
+def test_fast_path_requires_exact_tag_field():
+    """Quote-free lines whose first FIELD merely starts with I/C/D must raise
+    like the row path (flatfile.rs:292-294), not silently parse."""
+    hdr = b"I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE\n"
+    for bad in (b"INFO,DISPATCH,UNIT_SCADA,1,a,b,c\n",
+                b"COMMENTX,END OF REPORT,2\n",
+                b"DUMMY,DISPATCH,UNIT_SCADA,1,x,y,z\n"):
+        with pytest.raises(MmsParseError, match="unrecognized record tag"):
+            parse_flatfile_bytes(hdr + bad)
+    # lone "D" line: short data record both paths
+    with pytest.raises(MmsParseError):
+        parse_flatfile_bytes(hdr + b"D\n")
+
+
 def test_unknown_package_detected():
     parsed = parse_flatfile_bytes(UNKNOWN_PKG_CSV)
     assert parsed.tables[0].package is None

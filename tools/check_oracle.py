@@ -51,6 +51,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     a, b = canon(ray_df), canon(sql_df)
     if len(a) == len(b):
         for c in a.columns:
+            # Driver hashes values per-dtype: an int64 column on one side and
+            # float64 on the other hash-mismatch even when isclose passes.
+            ai, bi = np.issubdtype(a[c].dtype, np.integer), np.issubdtype(b[c].dtype, np.integer)
+            af, bf = np.issubdtype(a[c].dtype, np.floating), np.issubdtype(b[c].dtype, np.floating)
+            if (ai and bf) or (af and bi):
+                problems.append(f"col {c}: dtype mismatch ray={a[c].dtype} sql={b[c].dtype}")
+        for c in a.columns:
             av, bv = a[c].values, b[c].values
             if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
                 av = np.asarray(av, np.float64)
