@@ -97,6 +97,12 @@ class ParsedFlatFile:
     def data_row_count(self) -> int:
         return sum(t.num_data_rows for t in self.tables)
 
+    def total_record_count(self) -> int:
+        """Observed C+I+D record total — what the END OF REPORT control
+        total declares (its count includes the header comment, every I and
+        D row, and the EOR row itself)."""
+        return len(self.comments) + len(self.tables) + self.data_row_count
+
     def end_of_report_count(self) -> int | None:
         """The file's own control total — parsed but never verified by the
         reference (/root/reference/src/flatfile.rs:477-487); we surface it."""

@@ -24,6 +24,8 @@ route to per-package Parquet.  Differences from the reference, by design:
 from __future__ import annotations
 
 import io
+import os
+import tempfile
 from pathlib import Path
 
 import pyarrow as pa
@@ -60,9 +62,10 @@ def _parse_file_task(batch: pa.Table, write_dir: str | None = None) -> pa.Table:
         for member_idx, (member, data) in enumerate(iter_file_csv_bytes(path)):
             parsed = parse_flatfile_bytes(data)
             eor = parsed.end_of_report_count()
-            # control-total check: EOR counts every C/I/D row incl. itself in
-            # real MMS files; treat a declared count differing from observed
-            # total records by more than the comment rows as suspicious
+            # control-total check: EOR counts every C/I/D record incl. the
+            # header comment and itself; a declared total that disagrees
+            # with the observed record count flags the member
+            eor_ok = eor is None or eor == parsed.total_record_count()
             for table_idx, t in enumerate(parsed.tables):
                 if t.package is None:
                     out.append({
@@ -71,6 +74,7 @@ def _parse_file_task(batch: pa.Table, write_dir: str | None = None) -> pa.Table:
                         "rows": t.num_data_rows, "ipc": b"",
                         "skipped_header": f"{t.report_type},{t.report_subtype}",
                         "eor_declared": eor if eor is not None else -1,
+                        "eor_ok": eor_ok,
                         "source": member, "written": "",
                     })
                     continue
@@ -81,13 +85,26 @@ def _parse_file_task(batch: pa.Table, write_dir: str | None = None) -> pa.Table:
                     "rows": arrow.num_rows, "ipc": b"",
                     "skipped_header": "",
                     "eor_declared": eor if eor is not None else -1,
+                    "eor_ok": eor_ok,
                     "source": member, "written": "",
                 }
                 if write_dir is not None:
                     tgt = (Path(write_dir) / t.package.name /
                            f"part-f{file_idx:05d}-m{member_idx:03d}-t{table_idx:03d}.parquet")
                     tgt.parent.mkdir(parents=True, exist_ok=True)
-                    pq.write_table(arrow, tgt)
+                    # tmp+rename: a killed run never leaves a truncated part
+                    # at a deterministic (resume-advertised) name
+                    fd, tmp = tempfile.mkstemp(dir=tgt.parent, suffix=".tmp")
+                    os.close(fd)
+                    try:
+                        pq.write_table(arrow, tmp)
+                        os.replace(tmp, tgt)
+                    except BaseException:
+                        try:
+                            os.unlink(tmp)
+                        except OSError:
+                            pass
+                        raise
                     rec["written"] = str(tgt)
                 else:
                     rec["ipc"] = _ipc(arrow)
@@ -97,6 +114,7 @@ def _parse_file_task(batch: pa.Table, write_dir: str | None = None) -> pa.Table:
         ("member_idx", pa.int64()), ("table_idx", pa.int64()),
         ("rows", pa.int64()), ("ipc", pa.large_binary()),
         ("skipped_header", pa.string()), ("eor_declared", pa.int64()),
+        ("eor_ok", pa.bool_()),
         ("source", pa.string()), ("written", pa.string()),
     ])
     return pa.Table.from_pylist(out, schema=schema)
@@ -142,8 +160,16 @@ def parse_to_parquet(
     """Run the parse pipeline and write per-package Parquet.  Returns a
     summary dict (packages written, row counts, skipped headers)."""
     out_path = Path(out_path)
-    summary: dict = {"packages": {}, "skipped": [], "files": 0}
+    summary: dict = {"packages": {}, "skipped": [], "files": 0, "eor_mismatches": []}
     seen_files = set()
+    seen_eor_bad = set()
+
+    def note_eor(r) -> None:
+        key = (r["file_idx"], r["member_idx"])
+        if not r["eor_ok"] and key not in seen_eor_bad:
+            seen_eor_bad.add(key)
+            summary["eor_mismatches"].append(
+                {"source": r["source"], "declared": r["eor_declared"]})
 
     if layout == "partitioned":
         # scale path: workers write their own parts; only summary rows (no
@@ -151,6 +177,7 @@ def parse_to_parquet(
         rows = parse_dataset(input_path, write_dir=out_path).take_all()
         for r in rows:
             seen_files.add(r["file_idx"])
+            note_eor(r)
             if not r["package"]:
                 summary["skipped"].append(r["skipped_header"])
                 continue
@@ -179,6 +206,7 @@ def parse_to_parquet(
     try:
         for r in rows:
             seen_files.add(r["file_idx"])
+            note_eor(r)
             if not r["package"]:
                 summary["skipped"].append(r["skipped_header"])
                 continue
@@ -186,6 +214,10 @@ def parse_to_parquet(
             pkg = r["package"]
             if pkg not in writers:
                 tgt = target_for(pkg)
+                # create-new semantics: the reference refuses to clobber an
+                # existing output (/root/reference/src/packages/mod.rs:116-120)
+                if tgt.exists():
+                    raise FileExistsError(f"output already exists: {tgt}")
                 tgt.parent.mkdir(parents=True, exist_ok=True)
                 writers[pkg] = pq.ParquetWriter(tgt, table.schema)
                 summary["packages"][pkg] = {"rows": 0, "path": str(tgt)}

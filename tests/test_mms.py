@@ -251,6 +251,24 @@ def test_parse_to_parquet_reference_naming(ray_session, tmp_path):
         "multi_DISPATCH_LOCAL_PRICE.parquet",
         "multi_DISPATCH_UNIT_SCADA.parquet",
     ]
+    # create-new semantics: refuse to clobber (mod.rs:116-120)
+    with pytest.raises(FileExistsError):
+        parse_to_parquet(indir, out, layout="reference")
+
+
+def test_eor_control_total_verified(ray_session, tmp_path):
+    """SURVEY §2 P5/G3: the declared END OF REPORT total is checked against
+    the observed C+I+D record count and surfaced per member."""
+    from nem_mms_ray.mms.pipeline import parse_to_parquet
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "good.csv").write_bytes(SCADA_CSV)  # declares 6, observes 6
+    bad = SCADA_CSV.replace(b"C,END OF REPORT,6", b"C,END OF REPORT,99")
+    (indir / "bad.csv").write_bytes(bad)
+    summary = parse_to_parquet(indir, tmp_path / "out")
+    assert len(summary["eor_mismatches"]) == 1
+    assert summary["eor_mismatches"][0]["declared"] == 99
 
 
 # ---------------------------------------------------------------------------
