@@ -260,9 +260,31 @@ def _simhash_docs(sf_dir: str):
 
 
 def _embedding_near_pairs(sf_dir: str):
+    """LSH near-dup over a 1k-vector slice with 20 PLANTED duplicates
+    (vec_id+1_000_000, embedding x2 — cosine exactly 1.0, identical LSH
+    signs so recall is deterministic).  The testdata embeddings have no
+    natural pairs above 0.95 (max cosine ~0.51), so planting makes the
+    check non-vacuous AND lets an exact O(n^2) DuckDB oracle verify the
+    full distributed candidate+shuffle-join-verify path."""
     from nem_mms_ray.ops.dedup import embedding_near_pairs
 
-    return embedding_near_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        keep = ids < 20
+        sub = batch.filter(pa.array(keep))
+        emb = sub.column("embedding").combine_chunks()
+        doubled = pa.ListArray.from_arrays(
+            emb.offsets, pa.compute.multiply(emb.values, 2.0))
+        return pa.table({
+            "vec_id": pa.compute.add(sub.column("vec_id"), 1_000_000),
+            "embedding": doubled.cast(batch.column("embedding").type),
+        })
+
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        lambda r: r["vec_id"] < 1000)
+    aug = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    pairs = embedding_near_pairs(aug, threshold=0.95)
+    return pairs.select_columns(["a", "b"])
 
 
 def _lang_id_docs(sf_dir: str):
@@ -309,6 +331,38 @@ def _encode_documents(sf_dir: str):
         metrics[["pid", "rows", "orig_bytes", "encoded_bytes", "roundtrip_ok"]],
         preserve_index=False,
     )
+
+
+def _decode_checksum_docs(sf_dir: str):
+    """Flagship bit-identity as an oracle-checked row (VERDICT r1 item 4):
+    encode documents with the codec engine, decode back to plain parquet,
+    then fingerprint each DECODED text; the DuckDB oracle fingerprints the
+    source directly — equal hashes prove byte-identical round-trip per doc."""
+    import hashlib
+
+    import ray.data as rd
+
+    from nem_mms_ray.pipelines.decode import decode_files
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    enc = Path("/tmp/nem_mms_ray_q/ck_enc")
+    dec = Path("/tmp/nem_mms_ray_q/ck_dec")
+    shutil.rmtree(enc, ignore_errors=True)
+    shutil.rmtree(dec, ignore_errors=True)
+    encode_files([f"{sf_dir}/documents.parquet"], enc,
+                 target_bytes=16 << 20).materialize()
+    decode_files(enc, dec).materialize()
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fp": pa.array([hashlib.md5((x or "").encode()).hexdigest()
+                            for x in texts]),
+        })
+
+    return rd.read_parquet(str(dec), columns=["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow")
 
 
 def _encode_lineitem(sf_dir: str):
@@ -475,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": _ivf_ann_topk,
         # flagship encode + multimodal plumbing
         "encode_documents": _encode_documents,
+        "decode_checksum_docs": _decode_checksum_docs,
         "encode_lineitem": _encode_lineitem,
         "media_features_docs": _media_features_docs,
     }
@@ -707,6 +762,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = inter.a
             JOIN sz sb ON sb.doc_id = inter.b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+        """,
+        "embedding_near_pairs": """
+            WITH aug AS (
+                SELECT vec_id, embedding::DOUBLE[] AS embedding
+                FROM embeddings WHERE vec_id < 1000
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(embedding::DOUBLE[], x -> x * 2)
+                FROM embeddings WHERE vec_id < 20
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+        """,
+        "decode_checksum_docs": """
+            SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
         """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,

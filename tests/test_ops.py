@@ -47,6 +47,36 @@ def test_minhash_finds_planted_dups(docs_ds):
     assert (20, 60) in got  # near-dup (1 of ~38 3-grams changed -> j ~ 0.85)
 
 
+def test_minhash_distributed_verify_matches_broadcast(docs_ds):
+    """max_broadcast_pairs=0 forces the shuffle-join verify
+    (pairs_payload_metric); output must equal the broadcast path's."""
+    from nem_mms_ray.ops.dedup import minhash_dedup
+
+    ds, df = docs_ds
+    small = minhash_dedup(ds, threshold=0.7).to_pandas()
+    dist = minhash_dedup(ds, threshold=0.7, max_broadcast_pairs=0).to_pandas()
+    key = lambda d: sorted(zip(d["a"].astype(int), d["b"].astype(int),
+                               d["jaccard"].round(6)))
+    assert key(dist) == key(small)
+    assert len(dist) > 0
+
+
+def test_pairs_payload_metric_joins_payloads(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import pairs_payload_metric
+
+    pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 1, "b": 3}, {"a": 2, "b": 9}])
+    payloads = rd.from_items([
+        {"jid": 1, "payload": b"\x01"}, {"jid": 2, "payload": b"\x01"},
+        {"jid": 3, "payload": b"\x02"}, {"jid": 4, "payload": b"\xff"},
+    ])  # jid 9 missing -> b""; jid 4 unreferenced -> dropped
+    metric = lambda x, y: float(len(x) > 0 and x == y)
+    out = pairs_payload_metric(pairs, payloads, metric, "eq").to_pandas()
+    got = {(int(r.a), int(r.b)): r.eq for r in out.itertuples()}
+    assert got == {(1, 2): 1.0, (1, 3): 0.0, (2, 9): 0.0}
+
+
 def test_jaccard_symmetry_and_bounds():
     from nem_mms_ray.ops.dedup import jaccard
 
