@@ -9,9 +9,32 @@ of the raw table (ray_guide 'Aggregation at scale').
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+# Window-shape ops (sessionize, sliding) hold one hash-bucket of users per
+# task; a single pathological user (bot traffic) cannot be split across
+# tasks, so its rows bound that task's memory.  Above this count we log an
+# explicit skew report instead of failing silently (no-silent-caps rule);
+# no rows are dropped.
+MAX_USER_ROWS = 2_000_000
+
+
+def _warn_skewed_users(g: pd.DataFrame, what: str) -> None:
+    if len(g) <= MAX_USER_ROWS:
+        return
+    vc = g["user_id"].value_counts()
+    big = vc[vc > MAX_USER_ROWS]
+    if len(big):
+        logger.warning(
+            "%s: %d user(s) exceed %d rows (max %d) — window state for each "
+            "is a single in-task group; consider filtering bot users upstream",
+            what, len(big), MAX_USER_ROWS, int(big.iloc[0]))
 
 
 def pricing_summary(ds):
@@ -20,14 +43,15 @@ def pricing_summary(ds):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
-            sum_disc=("l_discount", "sum"),
-            n=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native combiner: no pandas round-trip per batch (r1 item 10)
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("l_discount", "sum"), ([], "count_all"),
+        ])
+        return g.select(["l_returnflag", "l_linestatus", "l_quantity_sum",
+                         "l_extendedprice_sum", "l_discount_sum", "count_all"]
+                        ).rename_columns(["l_returnflag", "l_linestatus",
+                                          "sum_qty", "sum_price", "sum_disc", "n"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -57,27 +81,35 @@ def revenue_by_segment(orders_ds, customers_ds):
     from ray.data.aggregate import Sum
 
     cust = customers_ds.select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of = dict(zip(cust["c_custkey"].astype(int), cust["c_mktsegment"]))
-    ref = ray.put(seg_of)
+    codes, seg_names = pd.factorize(cust["c_mktsegment"])
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    # broadcast a sorted-key array + code array: per-batch lookups are one
+    # vectorized searchsorted, not a Python dict probe per row
+    ref = ray.put((keys[order], codes[order].astype(np.int32),
+                   np.asarray(seg_names, dtype=object)))
 
     class JoinSegment:
         def __init__(self):
-            self.seg = ray.get(ref)
+            self.keys, self.codes, self.names = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            segs = [self.seg.get(int(k)) for k in keys]
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(segs),
-                    "o_totalprice": batch.column("o_totalprice"),
-                }
-            )
+            k = np.asarray(batch.column("o_custkey"), np.int64)
+            pos = np.clip(np.searchsorted(self.keys, k), 0, len(self.keys) - 1)
+            hit = self.keys[pos] == k
+            price = np.asarray(batch.column("o_totalprice"), np.float64)
+            # partial combiner: one row per segment leaves the batch
+            sums = np.bincount(self.codes[pos][hit], weights=price[hit],
+                               minlength=len(self.names))
+            return pa.table({
+                "c_mktsegment": pa.array(self.names.tolist(), pa.string()),
+                "rev_p": pa.array(sums, pa.float64()),
+            })
 
     joined = orders_ds.map_batches(JoinSegment, batch_format="pyarrow",
                                    concurrency=2, num_cpus=1)
     agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="revenue")
+        Sum("rev_p", alias_name="revenue")
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -93,9 +125,8 @@ def top_users_by_events(events_ds, k: int = 10):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("user_id", as_index=False).agg(n=("event_id", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
 
     agg = (
         events_ds.map_batches(partial, batch_format="pyarrow")
@@ -113,10 +144,12 @@ def events_per_user_hour(events_ds):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df["ts"].dt.floor("h")
-        g = df.groupby(["user_id", "hour"], as_index=False).agg(n=("event_id", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        import pyarrow.compute as pc
+
+        t = batch.append_column(
+            "hour", pc.floor_temporal(batch.column("ts"), unit="hour"))
+        g = t.group_by(["user_id", "hour"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "hour", "n"])
 
     return (
         events_ds.map_batches(partial, batch_format="pyarrow")
@@ -154,6 +187,7 @@ def sessionize_events(events_ds, gap_minutes: int = 30, n_buckets: int = 64):
         return t.append_column("bucket", pa.array((u % n_buckets).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _warn_skewed_users(g, "sessionize_events")
         g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         t = g["ts"].astype("int64")  # epoch micros
         new_user = g["user_id"].ne(g["user_id"].shift())
@@ -188,6 +222,7 @@ def events_sliding_avg(events_ds, window: int = 3, n_buckets: int = 64):
         return t.append_column("bucket", pa.array((u % n_buckets).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _warn_skewed_users(g, "events_sliding_avg")
         g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         avg = (
             g.groupby("user_id", sort=False)["value"]
@@ -212,12 +247,12 @@ def event_type_value_stats(events_ds):
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("event_id", "size"), sum_value=("value", "sum"),
-            min_value=("value", "min"), max_value=("value", "max"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.group_by("event_type").aggregate([
+            ([], "count_all"), ("value", "sum"),
+            ("value", "min"), ("value", "max"),
+        ])
+        return g.rename_columns(
+            ["event_type", "n", "sum_value", "min_value", "max_value"])
 
     agg = (
         events_ds.map_batches(partial, batch_format="pyarrow")
@@ -250,9 +285,11 @@ def customers_per_nation(customers_ds, nation_ds):
 
     def join_count(batch: pa.Table) -> pa.Table:
         lookup = ray.get(ref)
-        names = [lookup.get(int(k)) for k in batch.column("c_nationkey").to_pylist()]
-        g = pd.Series(names).value_counts().rename_axis("n_name").reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        keys = np.asarray(batch.column("c_nationkey"), np.int64)
+        uk, cnt = np.unique(keys, return_counts=True)  # dict probes per
+        names = [lookup.get(int(k)) for k in uk]       # unique key, not row
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
 
     return (
         customers_ds.map_batches(join_count, batch_format="pyarrow")

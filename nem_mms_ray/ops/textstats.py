@@ -88,29 +88,46 @@ class LangId:
 
     def __init__(self):
         self.word = re.compile(r"[\w']+", re.UNICODE)
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = sorted(_STOPWORDS)
+        self.tables = [np.asarray(sorted(_STOPWORDS[lang]), dtype=str)
+                       for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized scoring (r1 VERDICT item 6): tokens flatten once per
+        batch, membership runs as np.isin over the UNIQUE tokens only, and
+        per-doc hit counts come from one bincount per language — no
+        per-doc/per-token Python loop.  Semantics identical to the scalar
+        formula the DuckDB oracle mirrors: winner = first lang in sorted
+        order with the (strictly) highest stopword-hit count; score =
+        hits / n_tokens; empty or hitless docs -> ("und", 0.0)."""
         texts = batch.column("text").to_pylist()
-        preds = []
-        scores = []
-        for t in texts:
-            toks = [w.lower() for w in self.word.findall((t or "")[:2000])]
-            if not toks:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0
-            for lang in sorted(self.tables):
-                hits = sum(1 for w in toks if w in self.tables[lang])
-                if hits > best:
-                    best_lang, best = lang, hits
-            preds.append(best_lang)
-            scores.append(round(best / len(toks), 6))
+        tok_lists = [self.word.findall((t or "")[:2000]) for t in texts]
+        counts = np.array([len(ts) for ts in tok_lists], np.int64)
+        n_docs = len(texts)
+        flat = [w for ts in tok_lists for w in ts]
+        if flat:
+            arr = np.char.lower(np.asarray(flat, dtype=str))
+            uniq, inv = np.unique(arr, return_inverse=True)
+            doc_idx = np.repeat(np.arange(n_docs), counts)
+            hits = np.zeros((n_docs, len(self.langs)), np.int64)
+            for li, words in enumerate(self.tables):
+                memb = np.isin(uniq, words)
+                hits[:, li] = np.bincount(
+                    doc_idx, weights=memb[inv].astype(np.float64),
+                    minlength=n_docs).astype(np.int64)
+            best_li = hits.argmax(axis=1)  # first max = sorted-lang tiebreak
+            best = hits[np.arange(n_docs), best_li]
+        else:
+            best_li = np.zeros(n_docs, np.int64)
+            best = np.zeros(n_docs, np.int64)
+        langs = np.asarray(self.langs, dtype=object)
+        preds = np.where(best > 0, langs[best_li], "und")
+        safe = np.maximum(counts, 1)
+        scores = np.round(np.where(best > 0, best / safe, 0.0), 6)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "lang_pred": pa.array(preds),
+                "lang_pred": pa.array(preds.tolist(), type=pa.string()),
                 "lang_score": pa.array(scores, type=pa.float64()),
             }
         )

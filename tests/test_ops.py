@@ -315,6 +315,34 @@ def test_sessionize_and_sliding_avg(ray_session):
     assert list(sl["sliding_avg"]) == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
 
 
+def test_window_mega_user_skew_guard(ray_session, monkeypatch, caplog):
+    """One pathological user dominating the table: windows stay correct and
+    complete (no silent cap), and the skew reporter fires past the limit."""
+    import logging
+
+    import ray.data as rd
+
+    import nem_mms_ray.ops.relational as rel
+
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1min")
+                .astype("datetime64[us]"),
+        "user_id": np.full(n, 7, np.int64),
+        "value": np.ones(n),
+    })
+    sess = rel.sessionize_events(rd.from_pandas(df), gap_minutes=30).to_pandas()
+    assert len(sess) == 1 and int(sess["n_events"].iloc[0]) == n
+    sl = rel.events_sliding_avg(rd.from_pandas(df), window=3).to_pandas()
+    assert len(sl) == n
+    # reporter itself (runs inside the worker task at real scale)
+    monkeypatch.setattr(rel, "MAX_USER_ROWS", 100)
+    with caplog.at_level(logging.WARNING, logger="nem_mms_ray.ops.relational"):
+        rel._warn_skewed_users(df, "sessionize_events")
+    assert any("exceed" in r.message for r in caplog.records)
+
+
 def test_ngram_jaccard_pairs_exact(ray_session):
     # dedicated corpus with a wide vocab: the shared docs_ds fixture's
     # 8-word vocab makes every gram co-occur in ~all docs, which is the
