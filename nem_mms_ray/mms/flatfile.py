@@ -34,6 +34,26 @@ class MmsParseError(ValueError):
     pass
 
 
+def underline_record(row: list[str], idx: int,
+                     expected: list[str] | None = None) -> str:
+    """Caret-underlined record rendering — parity with the reference's
+    error display (/root/reference/src/error.rs:109-170, tested :173-206):
+    the offending record printed with the bad field underlined by '^'s
+    (field offset accounts for the joining commas); an out-of-range index
+    points three carets past the end.  We omit the ANSI red coloring."""
+    joined = ",".join(row)
+    if idx < len(row):
+        pre = sum(len(f) for f in row[:idx]) + idx
+        carets = "^" * len(row[idx])
+    else:
+        pre = len(joined)
+        carets = "^^^"
+    out = f"\n\n\t{joined}\n\t{' ' * pre}{carets}\n\n"
+    if expected is not None:
+        out += "Expected one of [" + ", ".join(f'"{e}"' for e in expected) + "]\n"
+    return out
+
+
 @dataclass
 class CommentRecord:
     """C rows: END OF REPORT / blind-update / EMMS general
@@ -117,7 +137,9 @@ def _parse_comment(row: list[str]) -> CommentRecord:
         try:
             return CommentRecord("EOR", row, count_of_records=int(row[2]))
         except ValueError as e:
-            raise MmsParseError(f"bad END OF REPORT count: {row[2]!r}") from e
+            raise MmsParseError(
+                f"bad END OF REPORT count: {row[2]!r}"
+                + underline_record(row, 2)) from e
     if len(row) > 2 and row[2] in ("BLIND_UPDATE_SUBMISSION", "BLIND_UPDATE_RESPONSE"):
         return CommentRecord("BUT", row)
     return CommentRecord("EMMS", row)
@@ -220,11 +242,13 @@ def _parse_fast(data: bytes) -> ParsedFlatFile:
         tag = row[0]  # exact first-field match, like _parse_rows
         if tag == "I":
             if len(row) < 4:
-                raise MmsParseError(f"short information record: {row!r}")
+                raise MmsParseError(f"short information record: {row!r}"
+                                    + underline_record(row, len(row)))
             try:
                 version = int(row[3])
             except ValueError as e:
-                raise MmsParseError(f"bad report version {row[3]!r}") from e
+                raise MmsParseError(f"bad report version {row[3]!r}"
+                                    + underline_record(row, 3)) from e
             current = FlatFileTable(
                 package=package_for_header(row[1], row[2]),
                 report_type=row[1],
@@ -239,7 +263,8 @@ def _parse_fast(data: bytes) -> ParsedFlatFile:
             current = None
         else:
             raise MmsParseError(
-                f"unrecognized record tag {tag!r} (expected one of C, I, D)"
+                f"unrecognized record tag {tag!r}"
+                + underline_record(row, 0, ["C", "I", "D"])
             )
     flush_run(n_lines)
     return ParsedFlatFile(tables=tables, comments=comments)
@@ -257,11 +282,13 @@ def _parse_rows(data: bytes) -> ParsedFlatFile:
         tag = row[0]
         if tag == "I":
             if len(row) < 4:
-                raise MmsParseError(f"short information record: {row!r}")
+                raise MmsParseError(f"short information record: {row!r}"
+                                    + underline_record(row, len(row)))
             try:
                 version = int(row[3])
             except ValueError as e:
-                raise MmsParseError(f"bad report version {row[3]!r}") from e
+                raise MmsParseError(f"bad report version {row[3]!r}"
+                                    + underline_record(row, 3)) from e
             headers = row[4:]
             current = FlatFileTable(
                 package=package_for_header(row[1], row[2]),
@@ -275,13 +302,15 @@ def _parse_rows(data: bytes) -> ParsedFlatFile:
             if current is None:
                 continue  # data before any header is skipped (G1)
             if len(row) < 4:
-                raise MmsParseError(f"short data record: {row!r}")
+                raise MmsParseError(f"short data record: {row!r}"
+                                    + underline_record(row, len(row)))
             current.data_rows.append(row[4:])
         elif tag == "C":
             comments.append(_parse_comment(row))
             current = None  # a comment closes the open table
         else:
             raise MmsParseError(
-                f"unrecognized record tag {tag!r} (expected one of C, I, D)"
+                f"unrecognized record tag {tag!r}"
+                + underline_record(row, 0, ["C", "I", "D"])
             )
     return ParsedFlatFile(tables=tables, comments=comments)

@@ -97,6 +97,25 @@ def test_data_before_header_skipped_and_unknown_tag_errors():
         parse_flatfile_bytes(b"X,foo\n")
 
 
+def test_caret_underline_rendering_parity():
+    """Mirror of the reference's display tests
+    (/root/reference/src/error.rs:173-206), minus ANSI color."""
+    from nem_mms_ray.mms.flatfile import underline_record
+
+    row = ["one", "two", "three"]
+    assert underline_record(row, 1) == "\n\n\tone,two,three\n\t    ^^^\n\n"
+    assert underline_record(row, 2) == "\n\n\tone,two,three\n\t        ^^^^^\n\n"
+    assert underline_record(row, 2, ["four", "five"]) == (
+        "\n\n\tone,two,three\n\t        ^^^^^\n\n"
+        'Expected one of ["four", "five"]\n')
+    assert underline_record(row, 8) == "\n\n\tone,two,three\n\t             ^^^\n\n"
+    # parse errors carry the rendering
+    with pytest.raises(MmsParseError) as ei:
+        parse_flatfile_bytes(b"X,foo\n")
+    assert "\tX,foo\n\t^\n" in str(ei.value)
+    assert 'Expected one of ["C", "I", "D"]' in str(ei.value)
+
+
 def test_fast_path_requires_exact_tag_field():
     """Quote-free lines whose first FIELD merely starts with I/C/D must raise
     like the row path (flatfile.rs:292-294), not silently parse."""

@@ -248,10 +248,42 @@ def test_multimodal_plumbing(ray_session):
     assert set(fs.column("url").to_pylist()) == {"a", "c"}
     assert all(len(f) <= 256 for f in fs.column("frame").to_pylist())
 
-    with pytest.raises(NotImplementedError):
-        DecodeMedia(backend="real")(pa.Table.from_pandas(df))
     with pytest.raises(ValueError):
         DecodeMedia(backend="bogus")
+
+
+def test_decode_media_real_backend(ray_session):
+    """backend='real' parses actual image headers with no media library:
+    hand-built PNG/GIF/BMP/JPEG/PPM byte streams decode to true dims."""
+    import struct
+
+    import ray.data as rd
+
+    from nem_mms_ray.ops.multimodal import decode_media, sniff_media
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 320, 200) + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00" * 8
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8)
+    ppm = b"P6\n# a comment\n1024 768\n255\n" + b"\x00" * 16
+    jpeg = (b"\xff\xd8"                                   # SOI
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"   # APP0
+            + b"\xff\xc0" + struct.pack(">H", 11)          # SOF0
+            + b"\x08" + struct.pack(">HH", 99, 123) + b"\x03" + b"\x00" * 9)
+    assert sniff_media(png) == ("png", 320, 200)
+    assert sniff_media(gif) == ("gif", 640, 480)
+    assert sniff_media(bmp) == ("bmp", 800, 600)   # abs(negative height)
+    assert sniff_media(ppm) == ("pnm", 1024, 768)
+    assert sniff_media(jpeg) == ("jpeg", 123, 99)
+    assert sniff_media(b"not an image at all") is None
+
+    df = pd.DataFrame({"url": list("abcdef"),
+                       "html": [png, gif, bmp, ppm, jpeg, b"junk"]})
+    dec = decode_media(rd.from_pandas(df), backend="real",
+                       concurrency=1).to_pandas().sort_values("url")
+    assert list(dec["media_ok"]) == [True] * 5 + [False]
+    assert list(dec["media_format"].dropna()) == ["png", "gif", "bmp", "pnm", "jpeg"]
+    assert list(dec["media_w"].dropna().astype(int)) == [320, 640, 800, 1024, 123]
 
 
 def test_rolling_fingerprint_deterministic():
