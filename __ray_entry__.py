@@ -253,6 +253,29 @@ def _minhash_pairs(sf_dir: str):
     return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
 
 
+def _minhash_exact_dups(sf_dir: str):
+    """The minhash path's guaranteed-recall regime as an oracle-checked row:
+    identical shingle sets give identical signatures in every band, so LSH
+    recall at Jaccard threshold 1.0 is exactly 1 and a DuckDB exact n-gram
+    oracle can mirror the output.  10 planted duplicate docs (doc_id +
+    1_000_000, same text) make the check non-vacuous — the testdata has no
+    natural exact-gram duplicates at sf0.01."""
+    import pyarrow.compute as pc
+
+    from nem_mms_ray.ops.dedup import minhash_dedup
+
+    def plant(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t.column("doc_id"), 10))
+        return pa.table({"doc_id": pc.add(sub.column("doc_id"), 1_000_000),
+                         "text": sub.column("text")})
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 200)),
+        batch_format="pyarrow")
+    aug = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    return minhash_dedup(aug, threshold=1.0)
+
+
 def _simhash_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import simhash_batch
 
@@ -521,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "minhash_pairs": _minhash_pairs,
+        "minhash_exact_dups": _minhash_exact_dups,
         "simhash_docs": _simhash_docs,
         "embedding_near_pairs": _embedding_near_pairs,
         # similarity search
@@ -762,6 +786,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = inter.a
             JOIN sz sb ON sb.doc_id = inter.b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+        """,
+        "minhash_exact_dups": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id < 10
+            ), w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM aug
+            ), t AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) = 0 THEN []
+                            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+                       END AS grams
+                FROM w
+            ), g AS (
+                SELECT DISTINCT doc_id, unnest(grams) AS gram FROM t
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT inter.a, inter.b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.a
+            JOIN sz sb ON sb.doc_id = inter.b
+            WHERE i = sa.n + sb.n - i
         """,
         "embedding_near_pairs": """
             WITH aug AS (
