@@ -224,7 +224,9 @@ def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     return lengths, data[int(offsets[0]):].tobytes()
 
 
-def _build_string_array(typ: pa.DataType, lengths: np.ndarray, data: bytes) -> pa.Array:
+def _build_string_array(typ: pa.DataType, lengths: np.ndarray, data) -> pa.Array:
+    """data: bytes / memoryview / uint8 ndarray — wrapped zero-copy; the
+    py_buffer holds the owner alive, so no tobytes round-trip."""
     big = pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)
     off_t = np.int64 if big else np.int32
     offsets = np.zeros(len(lengths) + 1, np.int64)
@@ -232,7 +234,7 @@ def _build_string_array(typ: pa.DataType, lengths: np.ndarray, data: bytes) -> p
     return pa.Array.from_buffers(
         typ,
         len(lengths),
-        [None, pa.py_buffer(offsets.astype(off_t).tobytes()), pa.py_buffer(data)],
+        [None, pa.py_buffer(offsets.astype(off_t)), pa.py_buffer(data)],
     )
 
 
@@ -301,7 +303,7 @@ class FsstCodec(Codec):
             n_sym = ec.params["n_sym"]
             sym_lens = np.frombuffer(sym_lens_b, np.uint8, count=n_sym)
             sym_bytes = np.frombuffer(sym_bytes_b, np.uint8, count=n_sym * 8).reshape(n_sym, 8)
-            data = native.decode(sym_bytes, sym_lens, stream, ec.params["data_bytes"])
+            data = native.decode_np(sym_bytes, sym_lens, stream, ec.params["data_bytes"])
         out = _build_string_array(typ, lengths, data)
         return dtypes.apply_validity(out, ec.validity)
 
