@@ -411,6 +411,10 @@ def encode_files(
     import ray.data as rd
 
     specs = plan_partitions(input_paths, target_bytes)
+    # run-level lineage: refuse resume into an out_dir planned differently
+    m = Manifest(out_dir)
+    m.check_run_header([str(p) for p in input_paths], target_bytes)
+    m.write_run_header([str(p) for p in input_paths], target_bytes, len(specs))
     # one block per spec: from_items packs everything into one block, which
     # would serialize the whole encode behind a single actor task
     ds = rd.from_items([s.to_row() for s in specs], override_num_blocks=len(specs))

@@ -54,6 +54,47 @@ class Manifest:
     def record_path(self, pid: int) -> Path:
         return self.dir / f"part-{pid:06d}.json"
 
+    # -- run-level header: pins the plan the partition records belong to ----
+    def run_header_path(self) -> Path:
+        return self.dir / "run.json"
+
+    def write_run_header(self, inputs: list[str], target_bytes: int,
+                         n_partitions: int) -> None:
+        """Record the run's plan identity (sorted input set + target_bytes).
+        `check_run_header` refuses to resume into an out_dir whose manifest
+        was produced by a different plan — the per-record lineage check
+        guards single partitions, this guards the whole run."""
+        self.init()
+        data = json.dumps({
+            "inputs": sorted(str(p) for p in inputs),
+            "target_bytes": int(target_bytes),
+            "n_partitions": int(n_partitions),
+        }, sort_keys=True).encode()
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            os.write(fd, data)
+            os.close(fd)
+            os.replace(tmp, self.run_header_path())
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    def check_run_header(self, inputs: list[str], target_bytes: int) -> None:
+        p = self.run_header_path()
+        if not p.exists():
+            return  # fresh out_dir (or pre-header manifest): nothing to check
+        with open(p) as f:
+            hdr = json.load(f)
+        want = sorted(str(x) for x in inputs)
+        if hdr.get("inputs") != want or hdr.get("target_bytes") != int(target_bytes):
+            raise ValueError(
+                f"manifest at {self.dir} was written by a different run "
+                f"(inputs or target_bytes changed); use a fresh out_dir or "
+                f"delete the stale manifest to re-encode")
+
     def is_done(
         self,
         pid: int,

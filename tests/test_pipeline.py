@@ -74,6 +74,17 @@ def test_resume_skips_done_partitions(ray_session, web_dir, tmp_path):
     assert mtimes == {f.name: os.path.getmtime(f) for f in out.glob("part-*.parquet")}
 
 
+def test_resume_refuses_different_plan(ray_session, web_dir, tmp_path):
+    """Run-level lineage: same out_dir + changed target_bytes (or inputs)
+    must error rather than silently mix two plans' partitions."""
+    out = tmp_path / "enc"
+    encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    with pytest.raises(ValueError, match="different run"):
+        encode_files(_paths(web_dir), out, target_bytes=TARGET * 2)
+    with pytest.raises(ValueError, match="different run"):
+        encode_files(_paths(web_dir)[:1], out, target_bytes=TARGET)
+
+
 def test_resume_redoes_missing_partition(ray_session, web_dir, tmp_path):
     out = tmp_path / "enc"
     encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
