@@ -44,7 +44,7 @@ def _chain_to_min(u: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
-                         n_buckets: int = 64):
+                         n_buckets: int = 64, carry: tuple = ()):
     """Score candidate pairs against per-id binary payloads, fully
     distributed — the scale path when candidates / payloads no longer fit a
     driver-side broadcast (VERDICT r1 items 2-3).
@@ -53,7 +53,9 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     payloads: Dataset[(jid: int64, payload: binary-like)] — one row per id;
       ids never referenced by a pair shuffle once and are dropped at the
       first join (a distributed semi-join, no driver id set needed).
-    pair_metric(bytes, bytes) -> float, computed once per pair.
+    pair_metric(bytes, bytes) -> float, computed once per pair; with
+    `carry` set, extra numeric columns of `pairs` ride along and arrive as
+    keyword args: pair_metric(bytes, bytes, **{c: float(v)}).
 
     Shape: two coarse-bucketed all-to-alls — (1) group by hash(jid) to
     attach each side's payload (payload volume moves once, plus once per
@@ -61,17 +63,17 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     pair's two sides together and score.  Coarse buckets (`n_buckets`) keep
     Ray group count flat regardless of key cardinality.
     """
-    PAYLOAD_SCHEMA = pa.schema([
-        ("jid", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
-        ("side", pa.int8()), ("payload", pa.large_binary()),
-        ("bucket", pa.int32()),
-    ])
+    PAYLOAD_SCHEMA = pa.schema(
+        [("jid", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+         ("side", pa.int8()), ("payload", pa.large_binary()),
+         ("bucket", pa.int32())]
+        + [(c, pa.float64()) for c in carry])
 
     def explode_pairs(t: pa.Table) -> pa.Table:
         a = np.asarray(t.column("a"), np.int64)
         b = np.asarray(t.column("b"), np.int64)
         jid = np.concatenate([a, b])
-        return pa.table({
+        cols = {
             "jid": pa.array(jid),
             "a": pa.array(np.concatenate([a, a])),
             "b": pa.array(np.concatenate([b, b])),
@@ -80,38 +82,51 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
             "payload": pa.nulls(2 * len(a), pa.large_binary()),
             "bucket": pa.array(((jid.astype(np.uint64) * _GOLD)
                                 % np.uint64(n_buckets)).astype(np.int32)),
-        }, schema=PAYLOAD_SCHEMA)
+        }
+        for c in carry:
+            v = np.asarray(t.column(c), np.float64)
+            cols[c] = pa.array(np.concatenate([v, v]))
+        return pa.table(cols, schema=PAYLOAD_SCHEMA)
 
     def tag_payloads(t: pa.Table) -> pa.Table:
         jid = np.asarray(t.column("jid"), np.int64)
         z = np.zeros(len(jid), np.int64)
-        return pa.table({
+        cols = {
             "jid": pa.array(jid), "a": pa.array(z), "b": pa.array(z),
             "side": pa.array(np.full(len(jid), -1, np.int8)),
             "payload": t.column("payload").cast(pa.large_binary()),
             "bucket": pa.array(((jid.astype(np.uint64) * _GOLD)
                                 % np.uint64(n_buckets)).astype(np.int32)),
-        }, schema=PAYLOAD_SCHEMA)
+        }
+        for c in carry:
+            cols[c] = pa.array(np.zeros(len(jid), np.float64))
+        return pa.table(cols, schema=PAYLOAD_SCHEMA)
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         pay = g[g["side"] < 0]
         pr = g[g["side"] >= 0]
         if len(pr) == 0:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "side": pd.Series([], dtype="int8"),
-                                 "payload": pd.Series([], dtype=object),
-                                 "bucket2": pd.Series([], dtype="int32")})
+            empty = {"a": pd.Series([], dtype="int64"),
+                     "b": pd.Series([], dtype="int64"),
+                     "side": pd.Series([], dtype="int8"),
+                     "payload": pd.Series([], dtype=object),
+                     "bucket2": pd.Series([], dtype="int32")}
+            for c in carry:
+                empty[c] = pd.Series([], dtype="float64")
+            return pd.DataFrame(empty)
         pmap = dict(zip(pay["jid"].to_numpy(np.int64), pay["payload"]))
         a = pr["a"].to_numpy(np.int64)
         b = pr["b"].to_numpy(np.int64)
         b2 = ((a.astype(np.uint64) * _GOLD + b.astype(np.uint64))
               % np.uint64(n_buckets)).astype(np.int32)
-        return pd.DataFrame({
+        out = {
             "a": a, "b": b, "side": pr["side"].to_numpy(np.int8),
             "payload": [pmap.get(j, b"") for j in pr["jid"].to_numpy(np.int64)],
             "bucket2": b2,
-        })
+        }
+        for c in carry:
+            out[c] = pr[c].to_numpy(np.float64)
+        return pd.DataFrame(out)
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, rows_m = [], [], []
@@ -120,9 +135,10 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
             s1 = sub.loc[sub["side"] == 1, "payload"]
             pa_ = s0.iloc[0] if len(s0) else b""
             pb_ = s1.iloc[0] if len(s1) else b""
+            kw = {c: float(sub[c].iloc[0]) for c in carry}
             rows_a.append(int(a))
             rows_b.append(int(b))
-            rows_m.append(pair_metric(pa_ or b"", pb_ or b""))
+            rows_m.append(pair_metric(pa_ or b"", pb_ or b"", **kw))
         return pd.DataFrame({"a": pd.Series(rows_a, dtype="int64"),
                              "b": pd.Series(rows_b, dtype="int64"),
                              metric_name: pd.Series(rows_m, dtype="float64")})
@@ -355,7 +371,8 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_buckets: int = 256):
+                        n_buckets: int = 256,
+                        max_broadcast_docs: int = 2_000_000):
     """EXACT n-gram Jaccard pairs (no LSH): Dataset[(a, b, jaccard)], a < b.
 
     Distributed shape: explode (gram, doc) -> group by gram (coarse-bucketed
@@ -395,12 +412,44 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
         return df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "cnt"})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    sizes = exploded.groupby(id_col).count().to_pandas()
-    size_ref = ray.put(dict(zip(sizes[id_col].astype(int), sizes["count()"].astype(int))))
     inter = (
         exploded.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
         .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="inter"))
     )
+    sizes_ds = exploded.groupby(id_col).count()
+
+    if ds.count() > max_broadcast_docs:
+        # scale path: per-doc set sizes would not fit a driver dict; ship
+        # them as 8-byte payloads through the distributed pair join, with
+        # the intersection count riding along as a carry column
+        def size_payloads(t: pa.Table) -> pa.Table:
+            n = np.asarray(t.column("count()"), np.int64)
+            return pa.table({
+                "jid": t.column(id_col).cast(pa.int64()),
+                "payload": pa.array([v.tobytes() for v in n], pa.large_binary()),
+            })
+
+        def _j(pa_: bytes, pb_: bytes, inter: float = 0.0) -> float:
+            na = int(np.frombuffer(pa_, np.int64)[0]) if pa_ else 0
+            nb = int(np.frombuffer(pb_, np.int64)[0]) if pb_ else 0
+            union = na + nb - inter
+            return inter / union if union else 0.0
+
+        scored = pairs_payload_metric(
+            inter, sizes_ds.map_batches(size_payloads, batch_format="pyarrow"),
+            _j, "jaccard", carry=("inter",))
+
+        def keep(t: pa.Table) -> pa.Table:
+            j = np.asarray(t.column("jaccard"), np.float64)
+            m = j >= threshold
+            return pa.table({"a": t.column("a").filter(pa.array(m)),
+                             "b": t.column("b").filter(pa.array(m)),
+                             "jaccard": pa.array(np.round(j[m], 6))})
+
+        return scored.map_batches(keep, batch_format="pyarrow")
+
+    sizes = sizes_ds.to_pandas()
+    size_ref = ray.put(dict(zip(sizes[id_col].astype(int), sizes["count()"].astype(int))))
 
     def score(batch: pa.Table) -> pa.Table:
         sz = ray.get(size_ref)
@@ -434,7 +483,7 @@ def _jaccard_blobs(pa_: bytes, pb_: bytes) -> float:
         return 1.0
     inter = len(np.intersect1d(sa, sb, assume_unique=True))
     union = len(sa) + len(sb) - inter
-    return round(inter / union, 6) if union else 0.0
+    return inter / union if union else 0.0  # caller thresholds then rounds
 
 
 def _shingle_blobs(batch: pa.Table, ngram: int, id_col: str, text_col: str) -> pa.Table:
@@ -477,7 +526,10 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
 
         def keep(t: pa.Table) -> pa.Table:
             j = np.asarray(t.column("jaccard"), np.float64)
-            return t.filter(pa.array(j >= threshold))
+            m = j >= threshold
+            return pa.table({"a": t.column("a").filter(pa.array(m)),
+                             "b": t.column("b").filter(pa.array(m)),
+                             "jaccard": pa.array(np.round(j[m], 6))})
 
         return scored.map_batches(keep, batch_format="pyarrow")
 
@@ -661,7 +713,7 @@ def _cosine_blobs(pa_: bytes, pb_: bytes) -> float:
     na, nb = np.linalg.norm(va), np.linalg.norm(vb)
     if na == 0 or nb == 0:
         return 0.0
-    return round(float(va @ vb / (na * nb)), 6)
+    return float(va @ vb / (na * nb))  # caller thresholds then rounds
 
 
 def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
@@ -745,6 +797,9 @@ def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
 
     def keep(t: pa.Table) -> pa.Table:
         c = np.asarray(t.column("cosine"), np.float64)
-        return t.filter(pa.array(c >= threshold))
+        m = c >= threshold
+        return pa.table({"a": t.column("a").filter(pa.array(m)),
+                         "b": t.column("b").filter(pa.array(m)),
+                         "cosine": pa.array(np.round(c[m], 6))})
 
     return scored.map_batches(keep, batch_format="pyarrow")

@@ -77,6 +77,27 @@ def test_pairs_payload_metric_joins_payloads(ray_session):
     assert got == {(1, 2): 1.0, (1, 3): 0.0, (2, 9): 0.0}
 
 
+def test_ngram_jaccard_distributed_sizes_match_broadcast(ray_session):
+    """max_broadcast_docs=0 forces the size shuffle-join (carry column);
+    output must equal the broadcast-dict path's."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(60)]
+    texts[30] = texts[5]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    small = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.2).to_pandas()
+    dist = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.2,
+                               max_broadcast_docs=0).to_pandas()
+    key = lambda d: sorted(zip(d["a"].astype(int), d["b"].astype(int),
+                               d["jaccard"].round(6)))
+    assert key(dist) == key(small)
+    assert (5, 30) in {(a, b) for a, b, _ in key(dist)}
+
+
 def test_jaccard_symmetry_and_bounds():
     from nem_mms_ray.ops.dedup import jaccard
 
