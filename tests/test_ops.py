@@ -213,6 +213,32 @@ def test_ivf_recall(ray_session):
     assert len(exact & approx) / 10 >= 0.7  # clustered data -> high recall
 
 
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """build_ivf_index then ivf_index_topk: partition-pruned reads, results
+    match the transient IVF search on the same centroids/params."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.ann import build_ivf_index, ivf_index_topk, topk_cosine
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate([c + rng.standard_normal((50, 16)) for c in centers])
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    idx = tmp_path / "ivf"
+    build_ivf_index(rd.from_pandas(df), idx, n_centroids=8)
+    # only probed hive partitions exist to read
+    parts = sorted(p.name for p in (idx / "lists").glob("list_id=*"))
+    assert len(parts) == 8
+    q = vecs[10]
+    res = ivf_index_topk(idx, q, k=10, nprobe=3)
+    assert len(res) == 10 and list(res["rank"]) == list(range(1, 11))
+    exact = set(topk_cosine(rd.from_pandas(df), q, k=10)["vec_id"])
+    assert len(exact & set(res["vec_id"])) / 10 >= 0.7
+
+
 def test_token_stats_and_quality(ray_session):
     import ray.data as rd
 
