@@ -5,6 +5,9 @@
   top-k then a tiny driver-side merge.  The baseline and the oracle.
 - `ivf_topk_cosine`: IVF scale path — deterministic sample centroids,
   batches route to nearest centroids, search only nprobe closest lists.
+- `build_ivf_index` / `ivf_index_topk`: the persisted variant — lists land
+  as hive-partitioned parquet, so repeated queries read only the probed
+  partitions instead of re-scanning the corpus.
 """
 
 from __future__ import annotations
