@@ -25,6 +25,16 @@ import pyarrow as pa
 logger = logging.getLogger(__name__)
 
 _P61 = np.uint64((1 << 61) - 1)  # Mersenne prime for minhash permutations
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-LUT; numpy<2 lacks
+    bitwise_count)."""
+    if len(x) == 0:
+        return np.zeros(0, np.int64)
+    return _POPCNT[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1).astype(np.int64)
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -630,20 +640,16 @@ def simhash_near_pairs(ds, max_hamming: int = 3, prefix_bits: int = 16):
     """Near-dup pairs by SimHash: bucket on each of 4 16-bit bands (any band
     equal -> candidate), verify Hamming distance <= max_hamming."""
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        shs = batch.column("simhash").to_pylist()
-        rows = {"doc_id": [], "band": [], "key": [], "simhash": []}
-        for i, s in zip(ids, shs):
-            u = np.uint64(np.int64(s).astype(np.uint64))
-            for b in range(4):
-                rows["doc_id"].append(i)
-                rows["band"].append(b)
-                rows["key"].append(int((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
-                rows["simhash"].append(s)
-        return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
-                         "band": pa.array(rows["band"], pa.int32()),
-                         "key": pa.array(rows["key"], pa.int32()),
-                         "simhash": pa.array(rows["simhash"], pa.int64())})
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        sh = np.asarray(batch.column("simhash"), np.int64).view(np.uint64)
+        n = len(ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = ((sh[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)))
+                & np.uint64(0xFFFF)).astype(np.int32).reshape(-1)
+        return pa.table({"doc_id": pa.array(np.repeat(ids, 4)),
+                         "band": pa.array(bands),
+                         "key": pa.array(keys),
+                         "simhash": pa.array(np.repeat(sh.view(np.int64), 4))})
 
     def pairs_in_coarse_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """Vectorized fine groupby within a coarse bucket (see minhash note)."""
@@ -659,7 +665,7 @@ def simhash_near_pairs(ds, max_hamming: int = 3, prefix_bits: int = 16):
             else:
                 ai, bi = np.triu_indices(len(ids), k=1)
             x = sh[ai] ^ sh[bi]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = _popcount64(x)
             keep = ham <= max_hamming
             if keep.any():
                 out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
