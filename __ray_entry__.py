@@ -276,6 +276,17 @@ def _minhash_exact_dups(sf_dir: str):
     return minhash_dedup(aug, threshold=1.0)
 
 
+def _curate_docs(sf_dir: str):
+    """Composed curation flagship: quality gate + lang gate + exact dedup in
+    one pipeline (text never shuffles; only ~50B label rows do).  The whole
+    composition is SQL-mirrored, so the driver hash-checks filter AND dedup
+    AND both label formulas together."""
+    from nem_mms_ray.ops.curate import curate_documents
+
+    return curate_documents(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            quality_min=0.5, lang="en")
+
+
 def _simhash_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import simhash_batch
 
@@ -542,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fp_docs": _rolling_fp_docs,
         # dedup family
         "exact_dedup_docs": _exact_dedup_docs,
+        "curate_docs": _curate_docs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "minhash_pairs": _minhash_pairs,
         "minhash_exact_dups": _minhash_exact_dups,
@@ -603,9 +615,77 @@ def _lang_id_oracle_sql() -> str:
     """
 
 
+def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en") -> str:
+    """DuckDB mirror of ops.curate.curate_documents: same lang VALUES
+    source, same quality formula, dedup winner = min doc_id per md5."""
+    from nem_mms_ray.ops.textstats import _STOPWORDS
+
+    values = ", ".join(
+        f"('{lg}', '{w}')"
+        for lg in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lg])
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       lower(substr(coalesce(text, ''), 1, 2000)),
+                       '[0-9a-z_'']+')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+        ),
+        sw(lang, w) AS (VALUES {values}),
+        hits AS (
+            SELECT t.doc_id, sw.lang, count(*) AS hits
+            FROM toks t JOIN sw ON t.tok = sw.w
+            GROUP BY t.doc_id, sw.lang
+        ),
+        best AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, lang ASC) AS rn
+            FROM hits
+        ),
+        qt AS (
+            SELECT doc_id,
+                   (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE
+                       AS n_tokens,
+                   len(coalesce(text, ''))::DOUBLE AS n_chars,
+                   (len(coalesce(text, ''))
+                    - len(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))::DOUBLE
+                       AS n_punct
+            FROM documents
+        ),
+        lab AS (
+            SELECT d.doc_id, d.text,
+                   coalesce(b.lang, 'und') AS lang_pred,
+                   round(least(1.0, qt.n_tokens / 100.0)
+                         * (1.0 - least(round(qt.n_punct / greatest(qt.n_chars, 1), 6) * 5.0, 0.5)), 6)
+                       AS quality
+            FROM documents d
+            JOIN qt ON qt.doc_id = d.doc_id
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+        ),
+        f AS (
+            SELECT * FROM lab
+            WHERE quality >= {quality_min} AND lang_pred = '{lang}'
+        ),
+        w AS (
+            SELECT min(doc_id) AS doc_id
+            FROM f GROUP BY md5(coalesce(text, ''))
+        )
+        SELECT f.doc_id, f.lang_pred, f.quality
+        FROM f JOIN w ON f.doc_id = w.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
+        "curate_docs": _curate_oracle_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6)  AS sum_qty,

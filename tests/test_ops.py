@@ -239,6 +239,29 @@ def test_ivf_persisted_index(ray_session, tmp_path):
     assert len(exact & set(res["vec_id"])) / 10 >= 0.7
 
 
+def test_curate_documents(ray_session):
+    """Composed gate: low-quality and wrong-language docs drop; exact dups
+    collapse to the min-id representative."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.curate import curate_documents
+
+    en = ("the quick brown fox jumps over the lazy dog and runs to the "
+          "hills with great speed for that is what foxes do in the wild ") * 5
+    de = ("der hund und die katze sind mit den kindern in das haus "
+          "gegangen und das ist nicht schlecht ") * 5
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [en, en, de, "short", en + "tail"],
+    })
+    out = curate_documents(rd.from_pandas(df), quality_min=0.5,
+                           lang="en").to_pandas().sort_values("doc_id")
+    # doc 1 is an exact dup of 0 (min id wins); 2 is German; 3 too short
+    assert list(out["doc_id"]) == [0, 4]
+    assert set(out["lang_pred"]) == {"en"}
+    assert (out["quality"] >= 0.5).all()
+
+
 def test_token_stats_and_quality(ray_session):
     import ray.data as rd
 
