@@ -22,13 +22,18 @@ import pyarrow.parquet as pq
 from nem_mms_ray.codecs import EncodedColumn, decode_column
 
 
-def iter_decoded_chunks(encoded_path: str | Path):
+def iter_decoded_chunks(encoded_path: str | Path,
+                        columns: list[str] | None = None):
     """Yield (chunk_idx, pa.Table) reassembled from an encoded partition file.
 
     Chunk rows are contiguous by construction (one record batch written per
     input batch), so each parquet row group of the encoded file holds whole
     chunks; a partition file is bounded by the encode target_bytes, and each
     chunk's encoded columns are decoded together then released.
+
+    `columns` projects the decode: undesired columns' payloads are skipped
+    entirely (never decompressed past the parquet layer) — the selective
+    random access per-column encoding exists for.
     """
     import json
 
@@ -47,9 +52,13 @@ def iter_decoded_chunks(encoded_path: str | Path):
         data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
         return offs, data
 
+    want = set(columns) if columns is not None else None
     pf = pq.ParquetFile(encoded_path)
     for rg in range(pf.metadata.num_row_groups):
         tbl = pf.read_row_group(rg)
+        if want is not None:
+            name_mask = pa.array([c in want for c in tbl.column("column").to_pylist()])
+            tbl = tbl.filter(name_mask)
         chunk_idx = tbl.column("chunk_idx").to_numpy()
         colname = tbl.column("column").to_pylist()
         codec = tbl.column("codec").to_pylist()
@@ -77,9 +86,10 @@ def iter_decoded_chunks(encoded_path: str | Path):
             yield ci, pa.table(cols)
 
 
-def decode_partition_file(encoded_path: str | Path) -> pa.Table:
+def decode_partition_file(encoded_path: str | Path,
+                          columns: list[str] | None = None) -> pa.Table:
     """Fully reassemble one encoded partition (small partitions / tests)."""
-    tables = [t for _, t in iter_decoded_chunks(encoded_path)]
+    tables = [t for _, t in iter_decoded_chunks(encoded_path, columns)]
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
@@ -154,7 +164,7 @@ class VerifyPartitions:
             orig = pa.Table.from_batches(
                 pf.iter_batches(row_groups=list(row["row_groups"]), columns=self.columns)
             )
-            dec = decode_partition_file(enc_path)
+            dec = decode_partition_file(enc_path, columns=self.columns)
             dec = dec.select(orig.column_names)
             mismates = []
             for name in orig.column_names:

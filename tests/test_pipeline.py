@@ -106,6 +106,11 @@ def test_decode_partition_file_order_preserved(ray_session, web_dir, tmp_path):
     )
     dec = decode_partition_file(out / f"part-{s.pid:06d}.parquet")
     assert dec.select(orig.column_names).equals(orig)
+    # projected decode: only the requested columns decompress, same bytes
+    proj = decode_partition_file(out / f"part-{s.pid:06d}.parquet",
+                                 columns=["url", "lang"])
+    assert sorted(proj.column_names) == ["lang", "url"]
+    assert proj.column("url").equals(orig.column("url").combine_chunks())
 
 
 def test_manifest_record_roundtrip(tmp_path):
