@@ -110,7 +110,8 @@ def test_decode_partition_file_order_preserved(ray_session, web_dir, tmp_path):
     proj = decode_partition_file(out / f"part-{s.pid:06d}.parquet",
                                  columns=["url", "lang"])
     assert sorted(proj.column_names) == ["lang", "url"]
-    assert proj.column("url").equals(orig.column("url").combine_chunks())
+    assert proj.column("url").combine_chunks().equals(
+        orig.column("url").combine_chunks())
 
 
 def test_manifest_record_roundtrip(tmp_path):
