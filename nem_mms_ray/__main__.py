@@ -14,6 +14,8 @@ Usage:
   python -m nem_mms_ray decode OUT_DIR -o PLAIN_DIR
   python -m nem_mms_ray describe OUT_DIR
   python -m nem_mms_ray gen -o DIR --rows 50000
+  python -m nem_mms_ray curate DOCS.parquet -o OUT.parquet \
+         [--quality-min 0.5] [--lang en]
 """
 
 from __future__ import annotations
@@ -70,6 +72,27 @@ def cmd_decode(args) -> int:
 
     df = decode_files(args.enc_dir, args.out).to_pandas()
     print(json.dumps({"partitions": len(df), "rows": int(df["rows"].sum())}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Quality/lang gate + exact dedup over a documents table; writes the
+    surviving (doc_id, lang_pred, quality) labels as parquet."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.curate import curate_documents
+
+    ds = rd.read_parquet(args.inputs, columns=[args.id_col, args.text_col])
+    out = curate_documents(ds, quality_min=args.quality_min, lang=args.lang,
+                           id_col=args.id_col, text_col=args.text_col)
+    out.write_parquet(args.out)
+    n_in = rd.read_parquet(args.inputs).count()
+    n_out = rd.read_parquet(args.out).count()
+    print(json.dumps({"input_rows": n_in, "curated_rows": n_out,
+                      "kept_pct": round(100.0 * n_out / max(1, n_in), 2)}))
     if owned:
         ray.shutdown()
     return 0
@@ -139,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
     pd_ = sub.add_parser("describe", help="codec registry + manifest metrics")
     pd_.add_argument("out_dir", nargs="?", default=None)
     pd_.set_defaults(fn=cmd_describe)
+
+    pc = sub.add_parser("curate", help="quality/lang gate + exact dedup over documents")
+    pc.add_argument("inputs", nargs="+")
+    pc.add_argument("-o", "--out", required=True)
+    pc.add_argument("--quality-min", type=float, default=0.5)
+    pc.add_argument("--lang", default=None)
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--num-cpus", type=int, default=None)
+    pc.set_defaults(fn=cmd_curate)
 
     pg = sub.add_parser("gen", help="synthesize the FIXTURES webtable")
     pg.add_argument("-o", "--out", required=True)

@@ -57,3 +57,10 @@ def test_cli_gen_encode_verify_describe(ray_session, tmp_path, capsys):
     import ray
 
     assert ray.is_initialized()
+
+
+def test_cli_curate(ray_session, tmp_path, capsys):
+    main(["curate", "/root/testdata/sf0.001/documents.parquet",
+          "-o", str(tmp_path / "cur"), "--quality-min", "0.5"])
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["input_rows"] == 500 and 0 < res["curated_rows"] <= 500
