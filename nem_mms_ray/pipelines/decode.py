@@ -93,6 +93,143 @@ def decode_partition_file(encoded_path: str | Path,
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
+def scan_encoded(enc_dir: str | Path, columns: list[str] | None = None,
+                 range_filters: dict[str, tuple] | None = None):
+    """Predicate-pushdown scan over encoded partitions: Dataset of decoded,
+    filtered rows.
+
+    `range_filters`: {column: (lo, hi)} inclusive bounds (either side None
+    for open).  A chunk whose stamped zone map ([zmin, zmax], written at
+    encode time) is disjoint from a bound is skipped before ANY of its
+    columns decompress — the scan reads only the (tiny) metadata columns of
+    pruned chunks.  Surviving chunks decode projected to `columns` plus the
+    filter columns, then the exact row mask applies.  Temporal bounds may be
+    numbers (raw epoch in the column's unit) or anything `pa.scalar`
+    accepts for the column type.
+    """
+    import functools
+    import json
+
+    import numpy as np
+    import ray.data as rd
+
+    filters = dict(range_filters or {})
+    need = None
+    if columns is not None:
+        need = sorted(set(columns) | set(filters))
+
+    def _bound_raw(v):
+        try:
+            return v.value  # pa scalar / pd.Timestamp -> raw int
+        except AttributeError:
+            return v
+
+    def scan_one(batch: pa.Table, *, path_col: str = "path") -> pa.Table:
+        out = []
+        dtype_map: dict[str, str] = {}
+        for enc_path in batch.column(path_col).to_pylist():
+            pf = pq.ParquetFile(enc_path)
+            for rg in range(pf.metadata.num_row_groups):
+                meta = pf.read_row_group(
+                    rg, columns=["column", "chunk_idx", "params", "dtype"])
+                names = meta.column("column").to_pylist()
+                chunks = meta.column("chunk_idx").to_numpy()
+                params = meta.column("params").to_pylist()
+                dtype_map.update(zip(names, meta.column("dtype").to_pylist()))
+                drop = set()
+                for name, ci, ps in zip(names, chunks, params):
+                    f = filters.get(name)
+                    if f is None:
+                        continue
+                    p = json.loads(ps)
+                    zmin, zmax = p.get("zmin"), p.get("zmax")
+                    if zmin is None or zmax is None:
+                        continue
+                    lo, hi = f
+                    if lo is not None and zmax < _bound_raw(lo):
+                        drop.add(int(ci))
+                    if hi is not None and zmin > _bound_raw(hi):
+                        drop.add(int(ci))
+                keep_chunks = sorted(set(int(c) for c in chunks) - drop)
+                if not keep_chunks:
+                    continue
+                for ci, tbl in _decode_row_group(pf, rg, need, set(keep_chunks)):
+                    mask = None
+                    for name, (lo, hi) in filters.items():
+                        col = tbl.column(name)
+                        m = np.ones(len(tbl), bool)
+                        if lo is not None:
+                            m &= np.asarray(pa.compute.greater_equal(
+                                col, pa.scalar(lo, col.type)))
+                        if hi is not None:
+                            m &= np.asarray(pa.compute.less_equal(
+                                col, pa.scalar(hi, col.type)))
+                        mask = m if mask is None else (mask & m)
+                    if mask is not None:
+                        tbl = tbl.filter(pa.array(mask))
+                    if columns is not None:
+                        tbl = tbl.select([c for c in columns])
+                    if tbl.num_rows:
+                        out.append(tbl)
+        if not out:
+            # typed empty block: all blocks must agree on schema
+            from nem_mms_ray import dtypes as _dt
+
+            want_cols = columns if columns is not None else sorted(dtype_map)
+            if all(c in dtype_map for c in want_cols):
+                return pa.table({c: pa.array([], _dt.type_from_str(dtype_map[c]))
+                                 for c in want_cols})
+            return pa.table({})
+        return pa.concat_tables(out)
+
+    files = sorted(str(p) for p in Path(enc_dir).glob("part-*.parquet"))
+    if not files:
+        raise ValueError(f"no encoded partitions under {enc_dir}")
+    ds = rd.from_items([{"path": p} for p in files], override_num_blocks=len(files))
+    return ds.map_batches(functools.partial(scan_one), batch_size=1,
+                          batch_format="pyarrow", num_cpus=1)
+
+
+def _decode_row_group(pf, rg: int, columns, keep_chunks: set):
+    """iter_decoded_chunks for one row group restricted to `keep_chunks`."""
+    import json as _json
+
+    import numpy as np
+
+    tbl = pf.read_row_group(rg)
+    ci_np = tbl.column("chunk_idx").to_numpy()
+    names = tbl.column("column").to_pylist()
+    sel = [i for i in range(len(tbl))
+           if int(ci_np[i]) in keep_chunks
+           and (columns is None or names[i] in columns)]
+    if not sel:
+        return
+    tbl = tbl.take(pa.array(sel, pa.int64()))
+    chunk_idx = tbl.column("chunk_idx").to_numpy()
+    colname = tbl.column("column").to_pylist()
+    codec = tbl.column("codec").to_pylist()
+    n_vals = tbl.column("n").to_numpy()
+    dtype = tbl.column("dtype").to_pylist()
+    params = tbl.column("params").to_pylist()
+    has_v = tbl.column("has_validity").to_numpy(zero_copy_only=False)
+    payload = tbl.column("payload").to_pylist()
+    validity = tbl.column("validity").to_pylist()
+    by_chunk: dict[int, list[int]] = {}
+    for i, ci in enumerate(chunk_idx):
+        by_chunk.setdefault(int(ci), []).append(i)
+    for ci in sorted(by_chunk):
+        cols = {}
+        for i in by_chunk[ci]:
+            ec = EncodedColumn(
+                codec=codec[i], n=int(n_vals[i]), dtype=dtype[i],
+                payload=payload[i],
+                validity=validity[i] if has_v[i] else None,
+                params=_json.loads(params[i]),
+            )
+            cols[colname[i]] = decode_column(ec)
+        yield ci, pa.table(cols)
+
+
 def _decode_task(batch: pa.Table, *, enc_dir: str, out_dir: str) -> pa.Table:
     """Decode encoded partition files back to plain parquet (one part per
     pid, deterministic names -> resumable like the encode side)."""

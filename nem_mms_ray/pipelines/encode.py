@@ -25,6 +25,7 @@ parallelism the reference lacks (single-threaded, fully materialized —
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 import time
@@ -170,6 +171,38 @@ class PartitionResult:
     codecs: dict = field(default_factory=dict)
 
 
+def _attach_zone_map(ec, arr: pa.Array) -> None:
+    """Stamp per-chunk min/max (zone map) into the codec params for
+    orderable types: `scan_encoded` prunes chunks whose range is disjoint
+    from a predicate WITHOUT decoding any of their payloads.  Temporal
+    types store raw epoch ints; non-finite float bounds are skipped
+    (NaN-poisoned zones must not prune)."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    try:
+        if pa.types.is_integer(t):
+            mm = pc.min_max(arr)
+            if mm["min"].is_valid:
+                ec.params["zmin"] = int(mm["min"].as_py())
+                ec.params["zmax"] = int(mm["max"].as_py())
+        elif pa.types.is_floating(t):
+            mm = pc.min_max(arr)
+            if mm["min"].is_valid:
+                lo, hi = float(mm["min"].as_py()), float(mm["max"].as_py())
+                if math.isfinite(lo) and math.isfinite(hi):
+                    ec.params["zmin"] = lo
+                    ec.params["zmax"] = hi
+        elif (pa.types.is_timestamp(t) or pa.types.is_date(t)
+              or pa.types.is_time(t)):
+            mm = pc.min_max(arr)
+            if mm["min"].is_valid:
+                ec.params["zmin"] = int(mm["min"].value)
+                ec.params["zmax"] = int(mm["max"].value)
+    except Exception:
+        pass  # zone maps are an optimization; never fail an encode for one
+
+
 class EncodePartitions:
     """Actor-pool callable over partition-spec rows (batch_format='pyarrow').
 
@@ -247,6 +280,7 @@ class EncodePartitions:
         return plans, symbols
 
     def _encode_chunk(self, name: str, arr: pa.Array, plans, symbols) -> EncodedColumn:
+        """Codec dispatch + never-expand guard + zone-map stamp."""
         codec_name = plans[name].codec
         codec = get_codec(codec_name)
         try:
@@ -273,7 +307,8 @@ class EncodePartitions:
             pe = get_codec("plain").encode(arr)
             if pe.encoded_bytes < ec.encoded_bytes:
                 pe.params["fallback_from"] = codec_name
-                return pe
+                ec = pe
+        _attach_zone_map(ec, arr)
         return ec
 
     def _encode_partition(self, spec: PartitionSpec) -> PartitionResult:

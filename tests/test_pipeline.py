@@ -149,3 +149,44 @@ def test_encode_deterministic_across_runs(ray_session, web_dir, tmp_path):
     for pa_, pb_ in zip(parts_a, parts_b):
         assert pa_.name == pb_.name
         assert pa_.read_bytes() == pb_.read_bytes(), pa_.name
+
+
+def test_scan_encoded_zone_pruning(ray_session, tmp_path):
+    """Zone maps: a range scan decodes only overlapping chunks and returns
+    exactly the predicate's rows."""
+    import numpy as np
+
+    from nem_mms_ray.pipelines.decode import _decode_row_group, scan_encoded
+
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(np.arange(n, dtype=np.float64) * 0.5),
+        "s": pa.array([f"row-{i}" for i in range(n)]),
+    })
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src, row_group_size=5000)
+    enc = tmp_path / "enc"
+    encode_files([str(src)], enc, target_bytes=1 << 18).to_pandas()
+
+    got = scan_encoded(enc, columns=["k", "v"],
+                       range_filters={"k": (1000, 1500)}).to_pandas()
+    got = got.sort_values("k", ignore_index=True)
+    assert list(got["k"]) == list(range(1000, 1501))
+    assert np.allclose(got["v"], np.arange(1000, 1501) * 0.5)
+    assert list(got.columns) == ["k", "v"]
+
+    # open-ended + empty-result predicates behave
+    hi = scan_encoded(enc, columns=["k"], range_filters={"k": (19990, None)}).to_pandas()
+    assert sorted(hi["k"]) == list(range(19990, n))
+    none = scan_encoded(enc, columns=["k"], range_filters={"k": (n + 1, None)}).to_pandas()
+    assert len(none) == 0
+
+    # pruning actually skips chunks: keep_chunks restriction honors subset
+    import pyarrow.parquet as pqq
+    f = sorted(enc.glob("part-*.parquet"))[0]
+    pf = pqq.ParquetFile(f)
+    all_chunks = {int(c) for c in pf.read_row_group(0).column("chunk_idx").to_pylist()}
+    some = {min(all_chunks)}
+    seen = [ci for ci, _ in _decode_row_group(pf, 0, None, some)]
+    assert seen == sorted(some)
