@@ -367,6 +367,22 @@ def _encode_documents(sf_dir: str):
     )
 
 
+def _scan_events_range(sf_dir: str):
+    """Zone-map predicate-pushdown scan over ENCODED events: encode once,
+    then range-scan the encoded files; chunks whose stamped [zmin, zmax] is
+    disjoint from the predicate never decompress.  Oracle = the same range
+    over the plain table."""
+    from nem_mms_ray.pipelines.decode import scan_encoded
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    enc = Path("/tmp/nem_mms_ray_q/scan_enc")
+    shutil.rmtree(enc, ignore_errors=True)
+    encode_files([f"{sf_dir}/events.parquet"], enc,
+                 target_bytes=8 << 20).materialize()
+    return scan_encoded(enc, columns=["event_id", "user_id", "value"],
+                        range_filters={"value": (0.25, 0.75)})
+
+
 def _decode_checksum_docs(sf_dir: str):
     """Flagship bit-identity as an oracle-checked row (VERDICT r1 item 4):
     encode documents with the codec engine, decode back to plain parquet,
@@ -566,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship encode + multimodal plumbing
         "encode_documents": _encode_documents,
         "decode_checksum_docs": _decode_checksum_docs,
+        "scan_events_range": _scan_events_range,
         "encode_lineitem": _encode_lineitem,
         "media_features_docs": _media_features_docs,
     }
@@ -917,6 +934,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decode_checksum_docs": """
             SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+        """,
+        "scan_events_range": """
+            SELECT event_id, user_id, value FROM events
+            WHERE value >= 0.25 AND value <= 0.75
         """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,
