@@ -124,6 +124,9 @@ def scan_encoded(enc_dir: str | Path, columns: list[str] | None = None,
         except AttributeError:
             return v
 
+    def _col_type(col):
+        return col.type
+
     def scan_one(batch: pa.Table, *, path_col: str = "path") -> pa.Table:
         out = []
         dtype_map: dict[str, str] = {}
@@ -159,11 +162,13 @@ def scan_encoded(enc_dir: str | Path, columns: list[str] | None = None,
                         col = tbl.column(name)
                         m = np.ones(len(tbl), bool)
                         if lo is not None:
-                            m &= np.asarray(pa.compute.greater_equal(
-                                col, pa.scalar(lo, col.type)))
+                            cmp = pa.compute.greater_equal(
+                                col, pa.scalar(lo, _col_type(col)))
+                            m &= np.asarray(pa.compute.fill_null(cmp, False))
                         if hi is not None:
-                            m &= np.asarray(pa.compute.less_equal(
-                                col, pa.scalar(hi, col.type)))
+                            cmp = pa.compute.less_equal(
+                                col, pa.scalar(hi, _col_type(col)))
+                            m &= np.asarray(pa.compute.fill_null(cmp, False))
                         mask = m if mask is None else (mask & m)
                     if mask is not None:
                         tbl = tbl.filter(pa.array(mask))

@@ -190,3 +190,23 @@ def test_scan_encoded_zone_pruning(ray_session, tmp_path):
     some = {min(all_chunks)}
     seen = [ci for ci, _ in _decode_row_group(pf, 0, None, some)]
     assert seen == sorted(some)
+
+
+def test_scan_encoded_nulls_in_filter_column(ray_session, tmp_path):
+    import numpy as np
+
+    from nem_mms_ray.pipelines.decode import scan_encoded
+
+    n = 4000
+    v = np.arange(n, dtype=np.float64)
+    vals = [None if i % 7 == 0 else float(v[i]) for i in range(n)]
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(vals, pa.float64())})
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src, row_group_size=1000)
+    enc = tmp_path / "enc"
+    encode_files([str(src)], enc, target_bytes=1 << 17).to_pandas()
+    got = scan_encoded(enc, columns=["k"],
+                       range_filters={"v": (100.0, 200.0)}).to_pandas()
+    expect = [i for i in range(100, 201) if i % 7 != 0]  # nulls never match
+    assert sorted(got["k"]) == expect
