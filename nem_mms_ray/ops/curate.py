@@ -64,20 +64,45 @@ class CurateLabel:
         })
 
 
+_WORKER_LABELERS: dict = {}
+
+
+def _label_task(batch: pa.Table, **kw) -> pa.Table:
+    """Task-mode wrapper: warm Ray workers cache the CurateLabel stage
+    (stopword tables, compiled regex) across tasks like an actor would,
+    without the actor-pool ramp-up (~3s on this sandbox)."""
+    key = tuple(sorted(kw.items()))
+    st = _WORKER_LABELERS.get(key)
+    if st is None:
+        st = _WORKER_LABELERS[key] = CurateLabel(**kw)
+    return st(batch)
+
+
 def curate_documents(ds, quality_min: float = 0.0, lang: str | None = None,
                      id_col: str = "doc_id", text_col: str = "text",
                      n_buckets: int = 64, concurrency: int | None = None):
     """Dataset[(doc_id, lang_pred, quality)] of curated survivors:
     quality >= quality_min, (optional) lang_pred == lang, exact-dedup
-    winner (min doc_id) per md5 fingerprint."""
-    labeled = ds.map_batches(
-        CurateLabel,
-        fn_constructor_kwargs={"quality_min": quality_min, "lang": lang,
-                               "id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow",
-        concurrency=concurrency or 2,
-        num_cpus=1,
-    )
+    winner (min doc_id) per md5 fingerprint.
+
+    `concurrency` switches the label stage to an explicit actor pool; the
+    default task mode caches the stage in warm workers (same state reuse,
+    no pool ramp-up)."""
+    import functools
+
+    if concurrency:
+        labeled = ds.map_batches(
+            CurateLabel,
+            fn_constructor_kwargs={"quality_min": quality_min, "lang": lang,
+                                   "id_col": id_col, "text_col": text_col},
+            batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    else:
+        labeled = ds.map_batches(
+            functools.partial(_label_task, quality_min=quality_min, lang=lang,
+                              id_col=id_col, text_col=text_col),
+            batch_format="pyarrow",
+            num_cpus=1,
+        )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # first 15 hex chars of the md5 -> int; uniform by construction
