@@ -467,3 +467,19 @@ def test_ngram_jaccard_pairs_exact(ray_session):
     # the pairwise score matches the scalar jaccard() on the same texts
     expect = round(jaccard(df["text"][12], df["text"][55]), 6)
     assert got[(12, 55)] == expect
+
+
+def test_sniff_media_fuzz_no_crash():
+    """Random/truncated byte streams must never crash the header parser."""
+    import random
+
+    from nem_mms_ray.ops.multimodal import sniff_media
+
+    rng = random.Random(42)
+    prefixes = [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8",
+                b"P6", b"P5\n#", b"\xff\xd8\xff\xc0"]
+    for _ in range(300):
+        p = rng.choice(prefixes)
+        blob = p + bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 40)))
+        r = sniff_media(blob)
+        assert r is None or (isinstance(r[0], str) and len(r) == 3)
