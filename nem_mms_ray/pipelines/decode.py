@@ -22,6 +22,64 @@ import pyarrow.parquet as pq
 from nem_mms_ray.codecs import EncodedColumn, decode_column
 
 
+def _decode_table_chunks(tbl: pa.Table, columns=None, keep_chunks=None):
+    """Decode the chunk rows of one encoded-table slice, zero-copy.
+
+    `columns`: only these logical columns decode (others' payloads are
+    skipped without decompression).  `keep_chunks`: only these chunk ids
+    decode (zone-map pruning).  Payload bytes are sliced as memoryviews of
+    the Arrow buffers — no per-row Python bytes copies.
+    """
+    import json
+
+    import numpy as np
+
+    def _binary_views(col):
+        arr = col.combine_chunks()
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()
+        offs = np.frombuffer(
+            bufs[1], odt, len(arr) + 1, arr.offset * np.dtype(odt).itemsize
+        )
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        return offs, data
+
+    names = tbl.column("column").to_pylist()
+    ci_np = tbl.column("chunk_idx").to_numpy()
+    sel = [i for i in range(len(tbl))
+           if (columns is None or names[i] in columns)
+           and (keep_chunks is None or int(ci_np[i]) in keep_chunks)]
+    if not sel:
+        return
+    if len(sel) != len(tbl):
+        tbl = tbl.take(pa.array(sel, pa.int64()))
+    chunk_idx = tbl.column("chunk_idx").to_numpy()
+    colname = tbl.column("column").to_pylist()
+    codec = tbl.column("codec").to_pylist()
+    n_vals = tbl.column("n").to_numpy()
+    dtype = tbl.column("dtype").to_pylist()
+    params = tbl.column("params").to_pylist()
+    has_v = tbl.column("has_validity").to_numpy(zero_copy_only=False)
+    po, pm = _binary_views(tbl.column("payload"))
+    vo, vm = _binary_views(tbl.column("validity"))
+    by_chunk: dict[int, list[int]] = {}
+    for i, ci in enumerate(chunk_idx):
+        by_chunk.setdefault(int(ci), []).append(i)
+    for ci in sorted(by_chunk):
+        cols = {}
+        for i in by_chunk[ci]:
+            ec = EncodedColumn(
+                codec=codec[i],
+                n=int(n_vals[i]),
+                dtype=dtype[i],
+                payload=pm[po[i] : po[i + 1]],
+                validity=bytes(vm[vo[i] : vo[i + 1]]) if has_v[i] else None,
+                params=json.loads(params[i]),
+            )
+            cols[colname[i]] = decode_column(ec)
+        yield ci, pa.table(cols)
+
+
 def iter_decoded_chunks(encoded_path: str | Path,
                         columns: list[str] | None = None):
     """Yield (chunk_idx, pa.Table) reassembled from an encoded partition file.
@@ -35,55 +93,10 @@ def iter_decoded_chunks(encoded_path: str | Path,
     entirely (never decompressed past the parquet layer) — the selective
     random access per-column encoding exists for.
     """
-    import json
-
-    import numpy as np
-
-    def _binary_views(col):
-        """Zero-copy (offsets, data memoryview) over a Binary/LargeBinary
-        column — avoids materializing every multi-MB payload as a Python
-        bytes copy the way to_pylist() would."""
-        arr = col.combine_chunks()
-        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
-        bufs = arr.buffers()
-        offs = np.frombuffer(
-            bufs[1], odt, len(arr) + 1, arr.offset * np.dtype(odt).itemsize
-        )
-        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-        return offs, data
-
     want = set(columns) if columns is not None else None
     pf = pq.ParquetFile(encoded_path)
     for rg in range(pf.metadata.num_row_groups):
-        tbl = pf.read_row_group(rg)
-        if want is not None:
-            name_mask = pa.array([c in want for c in tbl.column("column").to_pylist()])
-            tbl = tbl.filter(name_mask)
-        chunk_idx = tbl.column("chunk_idx").to_numpy()
-        colname = tbl.column("column").to_pylist()
-        codec = tbl.column("codec").to_pylist()
-        n_vals = tbl.column("n").to_numpy()
-        dtype = tbl.column("dtype").to_pylist()
-        params = tbl.column("params").to_pylist()
-        has_v = tbl.column("has_validity").to_numpy(zero_copy_only=False)
-        po, pm = _binary_views(tbl.column("payload"))
-        vo, vm = _binary_views(tbl.column("validity"))
-        by_chunk: dict[int, list[int]] = {}
-        for i, ci in enumerate(chunk_idx):
-            by_chunk.setdefault(int(ci), []).append(i)
-        for ci in sorted(by_chunk):
-            cols = {}
-            for i in by_chunk[ci]:
-                ec = EncodedColumn(
-                    codec=codec[i],
-                    n=int(n_vals[i]),
-                    dtype=dtype[i],
-                    payload=pm[po[i] : po[i + 1]],
-                    validity=bytes(vm[vo[i] : vo[i + 1]]) if has_v[i] else None,
-                    params=json.loads(params[i]),
-                )
-                cols[colname[i]] = decode_column(ec)
-            yield ci, pa.table(cols)
+        yield from _decode_table_chunks(pf.read_row_group(rg), want)
 
 
 def decode_partition_file(encoded_path: str | Path,
@@ -196,43 +209,10 @@ def scan_encoded(enc_dir: str | Path, columns: list[str] | None = None,
 
 
 def _decode_row_group(pf, rg: int, columns, keep_chunks: set):
-    """iter_decoded_chunks for one row group restricted to `keep_chunks`."""
-    import json as _json
-
-    import numpy as np
-
-    tbl = pf.read_row_group(rg)
-    ci_np = tbl.column("chunk_idx").to_numpy()
-    names = tbl.column("column").to_pylist()
-    sel = [i for i in range(len(tbl))
-           if int(ci_np[i]) in keep_chunks
-           and (columns is None or names[i] in columns)]
-    if not sel:
-        return
-    tbl = tbl.take(pa.array(sel, pa.int64()))
-    chunk_idx = tbl.column("chunk_idx").to_numpy()
-    colname = tbl.column("column").to_pylist()
-    codec = tbl.column("codec").to_pylist()
-    n_vals = tbl.column("n").to_numpy()
-    dtype = tbl.column("dtype").to_pylist()
-    params = tbl.column("params").to_pylist()
-    has_v = tbl.column("has_validity").to_numpy(zero_copy_only=False)
-    payload = tbl.column("payload").to_pylist()
-    validity = tbl.column("validity").to_pylist()
-    by_chunk: dict[int, list[int]] = {}
-    for i, ci in enumerate(chunk_idx):
-        by_chunk.setdefault(int(ci), []).append(i)
-    for ci in sorted(by_chunk):
-        cols = {}
-        for i in by_chunk[ci]:
-            ec = EncodedColumn(
-                codec=codec[i], n=int(n_vals[i]), dtype=dtype[i],
-                payload=payload[i],
-                validity=validity[i] if has_v[i] else None,
-                params=_json.loads(params[i]),
-            )
-            cols[colname[i]] = decode_column(ec)
-        yield ci, pa.table(cols)
+    """Zone-pruned decode of one row group (see `_decode_table_chunks`)."""
+    yield from _decode_table_chunks(pf.read_row_group(rg),
+                                    set(columns) if columns else None,
+                                    keep_chunks)
 
 
 def _decode_task(batch: pa.Table, *, enc_dir: str, out_dir: str) -> pa.Table:
