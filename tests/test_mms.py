@@ -380,3 +380,26 @@ def test_fast_path_edge_cases_match_row_path():
             assert a.num_data_rows == b.num_data_rows
             if a.package is not None:
                 assert a.to_arrow().equals(b.to_arrow())
+
+
+def test_mms_parse_then_encode_roundtrip(ray_session, tmp_path):
+    """The two halves composed: MMS flat files -> typed package parquet ->
+    codec engine encode -> bit-identical verify.  A reference user's full
+    pipeline (parse + archive) in one pass."""
+    from nem_mms_ray.mms.fixture import make_scada_corpus
+    from nem_mms_ray.mms.pipeline import parse_to_parquet
+    from nem_mms_ray.pipelines.decode import verify_files
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    indir = tmp_path / "mms"
+    make_scada_corpus(indir, n_files=2, rows_per_file=2000)
+    out = tmp_path / "pkg"
+    summary = parse_to_parquet(indir, out)
+    assert summary["packages"]["DISPATCH_UNIT_SCADA"]["rows"] == 4000
+
+    parts = sorted(str(p) for p in (out / "DISPATCH_UNIT_SCADA").glob("*.parquet"))
+    enc = tmp_path / "enc"
+    metrics = encode_files(parts, enc, target_bytes=1 << 20).to_pandas()
+    assert metrics["rows"].sum() == 4000
+    v = verify_files(parts, enc, target_bytes=1 << 20).to_pandas()
+    assert v["ok"].all()
