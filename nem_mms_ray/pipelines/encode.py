@@ -40,7 +40,7 @@ from nem_mms_ray import dtypes
 from nem_mms_ray.codecs import EncodedColumn, get_codec
 from nem_mms_ray.selector import plan_for_sketches
 from nem_mms_ray.state.manifest import Manifest, PartitionRecord
-from nem_mms_ray.stats import merge_sketches, sketch_array
+from nem_mms_ray.stats import sketch_array
 
 DEFAULT_TARGET_BYTES = 128 << 20
 SAMPLE_ROWS = 4096
