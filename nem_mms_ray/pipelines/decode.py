@@ -131,11 +131,23 @@ def scan_encoded(enc_dir: str | Path, columns: list[str] | None = None,
     if columns is not None:
         need = sorted(set(columns) | set(filters))
 
-    def _bound_raw(v):
-        try:
-            return v.value  # pa scalar / pd.Timestamp -> raw int
-        except AttributeError:
+    def _bound_raw(v, dt_str: str):
+        """Bound value in the column's raw storage unit: plain numbers pass
+        through; timestamps/dates convert via pa.scalar at the COLUMN's type
+        (pd.Timestamp.value alone is nanoseconds and would mis-prune a
+        microsecond column)."""
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
             return v
+        from nem_mms_ray import dtypes as _dt
+
+        try:
+            sc = pa.scalar(v, _dt.type_from_str(dt_str))
+            return sc.value
+        except Exception:
+            try:
+                return v.value
+            except AttributeError:
+                return v
 
     def _col_type(col):
         return col.type
@@ -162,9 +174,10 @@ def scan_encoded(enc_dir: str | Path, columns: list[str] | None = None,
                     if zmin is None or zmax is None:
                         continue
                     lo, hi = f
-                    if lo is not None and zmax < _bound_raw(lo):
+                    dts = dtype_map.get(name, "")
+                    if lo is not None and zmax < _bound_raw(lo, dts):
                         drop.add(int(ci))
-                    if hi is not None and zmin > _bound_raw(hi):
+                    if hi is not None and zmin > _bound_raw(hi, dts):
                         drop.add(int(ci))
                 keep_chunks = sorted(set(int(c) for c in chunks) - drop)
                 if not keep_chunks:

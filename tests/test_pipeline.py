@@ -210,3 +210,26 @@ def test_scan_encoded_nulls_in_filter_column(ray_session, tmp_path):
                        range_filters={"v": (100.0, 200.0)}).to_pandas()
     expect = [i for i in range(100, 201) if i % 7 != 0]  # nulls never match
     assert sorted(got["k"]) == expect
+
+
+def test_scan_encoded_timestamp_bounds(ray_session, tmp_path):
+    """Temporal range filters: zone compare must use the column's storage
+    unit (a pd.Timestamp bound is nanoseconds; the column is microseconds)."""
+    import numpy as np
+    import pandas as pd
+
+    from nem_mms_ray.pipelines.decode import scan_encoded
+
+    n = 5000
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min").astype("datetime64[us]")
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "ts": pa.Array.from_pandas(pd.Series(ts))})
+    src = tmp_path / "ev.parquet"
+    pq.write_table(t, src, row_group_size=1000)
+    enc = tmp_path / "enc"
+    encode_files([str(src)], enc, target_bytes=1 << 17).to_pandas()
+    lo, hi = pd.Timestamp("2024-01-01 10:00"), pd.Timestamp("2024-01-01 11:00")
+    got = scan_encoded(enc, columns=["event_id"],
+                       range_filters={"ts": (lo, hi)}).to_pandas()
+    expect = [i for i in range(n) if lo <= ts[i] <= hi]
+    assert sorted(got["event_id"]) == expect and len(expect) == 61
