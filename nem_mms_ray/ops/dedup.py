@@ -559,7 +559,6 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
             batch_format="pyarrow",
         )
     need = np.unique(np.concatenate([pairs["a"].values, pairs["b"].values]))
-    need_set = set(int(x) for x in need)
 
     def shingles_needed(batch: pa.Table) -> pa.Table:
         """Shingle each candidate doc ONCE (docs recur across many pairs)."""
