@@ -2,12 +2,20 @@
 
 Image/audio/video payloads are `binary` columns moved zero-copy through
 Arrow; decode / feature-extract / resize / frame-sample run as actor-pool
-map_batches stages.  The actual media libraries are NOT in this container
-(per the build constraints), so the decode kernel is STUBBED — clearly
-marked — behind `backend="fake"` (deterministic byte-level features) or
-`backend="real"` (raises NotImplementedError).  The Ray-side plumbing
-(schema, batch sizing for large blobs, actor signature, output layout) is
-real and tested against the webtable html column.
+map_batches stages.  No media library exists in this container, so the
+REAL kernels are the ones buildable from the stdlib + numpy alone:
+
+- `sniff_media`: true header decode (dims + format) for PNG / GIF / BMP /
+  JPEG / PNM — `DecodeMedia(backend="real")`;
+- `decode_pnm` / `encode_pnm` / `ResizeMedia(backend="real")`: true
+  pixel-level decode + nearest-neighbor resize for uncompressed binary PNM;
+- `ExtractFeatures`: byte-histogram features (a real, deterministic
+  computation standing in for batched model inference).
+
+Compressed-pixel decode (PNG/JPEG bitmaps) is out of scope and reported as
+media_ok=False rather than faked.  `backend="fake"` variants keep the
+plumbing testable on arbitrary binary columns (e.g. the webtable html
+column): schema, nulls, small-blob batch sizing, actor signatures.
 """
 
 from __future__ import annotations
@@ -134,6 +142,106 @@ class DecodeMedia:
         )
 
 
+def decode_pnm(buf: bytes) -> np.ndarray | None:
+    """Pure-numpy pixel decode of binary PNM (P5 gray / P6 RGB, maxval<256):
+    (h, w) or (h, w, 3) uint8 array, or None if not a binary PNM."""
+    if len(buf) < 2 or buf[0:1] != b"P" or buf[1:2] not in b"56":
+        return None
+    channels = 3 if buf[1:2] == b"6" else 1
+    fields: list[int] = []
+    i = 2
+    n = len(buf)
+    while i < n and len(fields) < 3:
+        c = buf[i : i + 1]
+        if c == b"#":
+            while i < n and buf[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and buf[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(buf[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or fields[2] > 255:
+        return None
+    i += 1  # single whitespace after maxval
+    w, h = fields[0], fields[1]
+    need = w * h * channels
+    if n - i < need:
+        return None
+    arr = np.frombuffer(buf, np.uint8, need, i)
+    return arr.reshape(h, w, channels) if channels == 3 else arr.reshape(h, w)
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """Inverse of decode_pnm (maxval 255)."""
+    if arr.ndim == 3:
+        head = b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0])
+    else:
+        head = b"P5\n%d %d\n255\n" % (arr.shape[1], arr.shape[0])
+    return head + np.ascontiguousarray(arr, np.uint8).tobytes()
+
+
+class ResizeMedia:
+    """Actor-pool stage: image payload -> resized payload.
+
+    `backend="real"` does a TRUE nearest-neighbor pixel resize for binary
+    PNM payloads (uncompressed, decodable with numpy alone — no media
+    library in this container); compressed formats (PNG/JPEG/...) come back
+    media_ok=False, honestly marked undecodable.  `backend="fake"` emits a
+    deterministic byte slice of the target size so plumbing tests run on
+    arbitrary binary columns.
+    """
+
+    def __init__(self, payload_col: str = "html", width: int = 64,
+                 height: int = 64, backend: str = "real"):
+        if backend not in ("fake", "real"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.payload_col = payload_col
+        self.w = width
+        self.h = height
+        self.backend = backend
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        ys = (np.arange(self.h) * img.shape[0] // self.h).clip(0, img.shape[0] - 1)
+        xs = (np.arange(self.w) * img.shape[1] // self.w).clip(0, img.shape[1] - 1)
+        return img[ys][:, xs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        oks, outs, ws, hs = [], [], [], []
+        for v in batch.column(self.payload_col).to_pylist():
+            img = decode_pnm(v) if (v is not None and self.backend == "real") else None
+            if img is not None:
+                r = self._resize(img)
+                oks.append(True)
+                outs.append(encode_pnm(r))
+                ws.append(self.w)
+                hs.append(self.h)
+            elif self.backend == "fake" and v is not None:
+                size = self.w * self.h
+                rep = (v * (size // max(1, len(v)) + 1))[:size]
+                oks.append(True)
+                outs.append(rep)
+                ws.append(self.w)
+                hs.append(self.h)
+            else:
+                oks.append(False)
+                outs.append(None)
+                ws.append(None)
+                hs.append(None)
+        out = batch.drop_columns([self.payload_col])
+        return (
+            out.append_column("resized", pa.array(outs, pa.large_binary()))
+            .append_column("resize_ok", pa.array(oks, pa.bool_()))
+            .append_column("out_w", pa.array(ws, pa.int32()))
+            .append_column("out_h", pa.array(hs, pa.int32()))
+        )
+
+
 class ExtractFeatures:
     """Actor-pool stage: binary payload -> fixed-dim feature vector.
 
@@ -218,6 +326,22 @@ def extract_features(ds, payload_col: str = "html", concurrency: int = 4,
     return ds.map_batches(
         ExtractFeatures,
         fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def resize_media(ds, payload_col: str = "html", width: int = 64,
+                 height: int = 64, backend: str = "real",
+                 concurrency: int = 4, batch_size: int = 256):
+    """Actor-pool resize over a binary image column (small batches: blob
+    payloads x concurrency must fit worker heaps)."""
+    return ds.map_batches(
+        ResizeMedia,
+        fn_constructor_kwargs={"payload_col": payload_col, "width": width,
+                               "height": height, "backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

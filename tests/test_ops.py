@@ -483,3 +483,30 @@ def test_sniff_media_fuzz_no_crash():
         blob = p + bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 40)))
         r = sniff_media(blob)
         assert r is None or (isinstance(r[0], str) and len(r) == 3)
+
+
+def test_resize_media_real_pnm(ray_session):
+    """Real pixel kernel: a generated P6 gradient resizes with exact
+    nearest-neighbor values, round-tripped through the PNM codec."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.multimodal import decode_pnm, encode_pnm, resize_media
+
+    h, w = 40, 60
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = np.arange(w, dtype=np.uint8)[None, :]
+    img[..., 1] = np.arange(h, dtype=np.uint8)[:, None]
+    buf = encode_pnm(img)
+    assert np.array_equal(decode_pnm(buf), img)
+    gray = encode_pnm(img[..., 0])  # P5
+
+    df = pd.DataFrame({"url": ["a", "b", "c", "d"],
+                       "html": [buf, gray, b"\x89PNGnotreallydecodable", None]})
+    out = resize_media(rd.from_pandas(df), width=20, height=10,
+                       concurrency=1).to_pandas().set_index("url")
+    assert list(out["resize_ok"]) == [True, True, False, False]
+    r = decode_pnm(out.loc["a", "resized"])
+    assert r.shape == (10, 20, 3)
+    # nearest-neighbor: pixel (y, x) = source (y*40//10, x*60//20)
+    assert r[3, 7, 0] == img[12, 21, 0] and r[3, 7, 1] == img[12, 21, 1]
+    assert decode_pnm(out.loc["b", "resized"]).shape == (10, 20)
