@@ -154,6 +154,18 @@ def _fingerprint_docs(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _distinct_count(one, col: str) -> int:
+    """Distributed exact NDV (nulls excluded): groupby-distinct stays on the
+    workers; only the COUNT of distinct groups crosses to the driver — never
+    the values (ds.unique() would collect every distinct text)."""
+    ndv_rows = one.groupby(col).count()
+    ndv_total = ndv_rows.count()
+    has_null = bool(one.map_batches(
+        lambda t, c=col: pa.table({"k": pa.array([t.column(c).null_count > 0])}),
+        batch_format="pyarrow").to_pandas()["k"].any())
+    return int(ndv_total) - (1 if has_null else 0)
+
+
 def _column_stats_docs(sf_dir: str):
     """Exact per-column stats feeding the codec selector (SQL-checkable
     analog of stats.sketch_array)."""
@@ -162,9 +174,7 @@ def _column_stats_docs(sf_dir: str):
     for col in ("lang", "source"):
         one = ds.select_columns([col])
         n = one.count()
-        distinct = one.unique(col)
-        nulls = sum(1 for v in distinct if v is None)
-        ndv = len([v for v in distinct if v is not None])
+        ndv = _distinct_count(one, col)
         null_count = ds.map_batches(
             lambda t, c=col: pa.table({"k": pa.array([t.column(c).null_count], pa.int64())}),
             batch_format="pyarrow",
@@ -181,7 +191,7 @@ def _selector_decision_docs(sf_dir: str):
     for col in ("text", "lang", "source"):
         one = ds.select_columns([col])
         n = one.count()
-        ndv = len([v for v in one.unique(col) if v is not None])
+        ndv = _distinct_count(one, col)
         total = one.map_batches(
             lambda t, c=col: pa.table(
                 {"b": pa.array(

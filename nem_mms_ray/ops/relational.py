@@ -133,8 +133,16 @@ def top_users_by_events(events_ds, k: int = 10):
         .groupby("user_id")
         .aggregate(Sum("n", alias_name="n"))
     )
-    # top-k: a tiny result; sort on the aggregated (small) dataset
-    df = agg.to_pandas().sort_values(["n", "user_id"], ascending=[False, True]).head(k)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # global top-k ⊆ union of per-block top-k: the driver merge sees at
+        # most n_blocks*k rows, never the full per-user aggregate
+        df = t.to_pandas().sort_values(["n", "user_id"],
+                                       ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    df = cand.sort_values(["n", "user_id"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
