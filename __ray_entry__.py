@@ -331,6 +331,13 @@ def _embedding_near_pairs(sf_dir: str):
     return pairs.select_columns(["a", "b"])
 
 
+def _repetition_docs(sf_dir: str):
+    from nem_mms_ray.ops.textstats import repetition_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow")
+
+
 def _lang_id_docs(sf_dir: str):
     from nem_mms_ray.ops.textstats import LangId
 
@@ -515,6 +522,17 @@ def _lineitem_revenue(sf_dir: str):
     return lineitem_revenue(_read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"]))
 
 
+def _events_value_quantiles(sf_dir: str):
+    """Exact order-statistic quantiles via DISTRIBUTED sort + split/take
+    (the engine's Dataset.sort coverage; one row per quantile reaches the
+    driver)."""
+    from nem_mms_ray.ops.relational import exact_value_quantiles
+
+    return exact_value_quantiles(
+        _read(sf_dir, "events", ["event_id", "value"]), col="value",
+        qs=(0.25, 0.5, 0.75))
+
+
 def _embedding_norms(sf_dir: str):
     def norms(t: pa.Table) -> pa.Table:
         vs = [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]
@@ -565,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_value_stats": _event_type_value_stats,
         "customers_per_nation": _customers_per_nation,
         "lineitem_revenue": _lineitem_revenue,
+        "events_value_quantiles": _events_value_quantiles,
         "embedding_norms": _embedding_norms,
         "mms_parse_demo": _mms_parse_demo,
         # encode-engine analytics (stats, selector, FOR plan)
@@ -576,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": _quality_docs,
         "fingerprint_docs": _fingerprint_docs,
         "lang_id_docs": _lang_id_docs,
+        "repetition_docs": _repetition_docs,
         "rolling_fp_docs": _rolling_fp_docs,
         # dedup family
         "exact_dedup_docs": _exact_dedup_docs,
@@ -712,6 +732,31 @@ def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en") -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
+        "repetition_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) = 0 THEN []
+                            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+                       END AS grams
+                FROM w
+            ), g AS (
+                SELECT doc_id, unnest(grams) AS gram FROM t
+            ), s AS (
+                SELECT doc_id, count(*) AS cnt, count(DISTINCT gram) AS cnt_d
+                FROM g GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(round(1.0 - s.cnt_d * 1.0 / s.cnt, 6), 0.0)
+                       AS repetition
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
         "curate_docs": _curate_oracle_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -768,6 +813,16 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
                          6) AS sliding_avg
             FROM events
+        """,
+        "events_value_quantiles": """
+            WITH r AS (
+                SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                       count(*) OVER () AS n
+                FROM events
+            )
+            SELECT q, value
+            FROM (VALUES (0.25), (0.5), (0.75)) qs(q)
+            JOIN r ON r.rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
         """,
         "event_type_value_stats": """
             SELECT event_type, count(*) AS n,

@@ -336,3 +336,30 @@ def filter_orders_by_priority(orders_ds, priority: str):
         lambda t: t.filter(pc.equal(t["o_orderpriority"], priority)),
         batch_format="pyarrow",
     )
+
+
+def exact_value_quantiles(ds, col: str = "value", qs: tuple = (0.25, 0.5, 0.75),
+                          id_col: str = "event_id"):
+    """Exact order-statistic quantiles via a DISTRIBUTED sort (the one
+    all-to-all Ray Data wide op the engine didn't otherwise exercise):
+    quantile q = the value at zero-based rank floor(q*(n-1)) of the sorted
+    column.  The sorted dataset materializes once in the object store;
+    each quantile then costs one split + a single-row take — the driver
+    never sees more than one row per quantile.  SQL mirror: row_number()
+    OVER (ORDER BY col) at the same ranks."""
+    import pyarrow as pa
+
+    n = ds.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    s = ds.select_columns([col]).sort(col).materialize()
+    out_q, out_v = [], []
+    for q in qs:
+        k = int(np.floor(q * (n - 1)))
+        part = s.split_at_indices([k])[1]
+        row = part.take(1)[0]
+        out_q.append(float(q))
+        out_v.append(float(row[col]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})

@@ -151,3 +151,22 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = 64) -> pa.Table:
             h = int(hashes.min() % np.uint64(2**63))
         out.append(h)
     return pa.table({"doc_id": batch.column("doc_id"), "rfp": pa.array(out, type=pa.int64())})
+
+
+def repetition_batch(batch: pa.Table, ngram: int = 3) -> pa.Table:
+    """doc_id, repetition = 1 - distinct_grams/total_grams over word
+    n-grams WITH multiplicity — the intra-document template/boilerplate
+    signal a pre-training filter thresholds on.  0.0 for gram-less docs.
+    SQL-mirrorable: count(*) vs count(DISTINCT gram) per doc."""
+    from nem_mms_ray.ops.dedup import _batch_word_ngrams
+
+    texts = batch.column("text").to_pylist()
+    ks = np.array([len((t or "").split()) for t in texts], np.int64)
+    total = np.where(ks == 0, 0, np.where(ks < ngram, 1, ks - ngram + 1))
+    distinct = np.array([len(s) for s in _batch_word_ngrams(texts, ngram)],
+                        np.int64)
+    rep = np.zeros(len(texts), np.float64)
+    nz = total > 0
+    rep[nz] = np.round(1.0 - distinct[nz] / total[nz], 6)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "repetition": pa.array(rep, pa.float64())})

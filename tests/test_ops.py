@@ -537,3 +537,25 @@ def test_decode_audio_real_wav(ray_session):
     assert list(out["audio_ok"]) == [True, False, False]
     assert int(out["duration_ms"].iloc[0]) == 500
     assert int(out["channels"].iloc[0]) == 2
+
+
+def test_repetition_and_quantiles(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.relational import exact_value_quantiles
+    from nem_mms_ray.ops.textstats import repetition_batch
+
+    rep = repetition_batch(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["spam spam spam spam spam", "all words here are unique now",
+                 "ab", None],
+    }))
+    vals = rep.column("repetition").to_pylist()
+    assert vals[0] > 0.6          # 3 identical grams out of 3
+    assert vals[1] == 0.0         # all distinct
+    assert vals[2] == 0.0 and vals[3] == 0.0
+
+    df = pd.DataFrame({"event_id": np.arange(101, dtype=np.int64),
+                       "value": np.arange(101, dtype=np.float64)})
+    q = exact_value_quantiles(rd.from_pandas(df), qs=(0.0, 0.5, 1.0))
+    assert q.column("value").to_pylist() == [0.0, 50.0, 100.0]
