@@ -296,10 +296,19 @@ class VerifyPartitions:
             pid = row["pid"]
             enc_path = self.out_dir / f"part-{pid:06d}.parquet"
             pf = pq.ParquetFile(row["path"])
-            orig = pa.Table.from_batches(
-                pf.iter_batches(row_groups=list(row["row_groups"]), columns=self.columns)
-            )
+            batches = list(pf.iter_batches(row_groups=list(row["row_groups"]),
+                                           columns=self.columns))
+            if batches:
+                orig = pa.Table.from_batches(batches)
+            else:  # zero-row partition
+                orig = pf.schema_arrow.empty_table()
+                if self.columns:
+                    orig = orig.select(list(self.columns))
             dec = decode_partition_file(enc_path, columns=self.columns)
+            if orig.num_rows == 0:
+                out.append({"pid": pid, "rows": 0,
+                            "ok": dec.num_rows == 0, "mismatched_columns": ""})
+                continue
             dec = dec.select(orig.column_names)
             mismates = []
             for name in orig.column_names:

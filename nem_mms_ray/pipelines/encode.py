@@ -238,10 +238,15 @@ class EncodePartitions:
 
         from nem_mms_ray.selector import ColumnPlan
 
-        first = next(pf.iter_batches(batch_size=self.sample_rows,
-                                     row_groups=row_groups[:1],
-                                     columns=self.columns))
-        sample = pa.Table.from_batches([first])
+        try:
+            first = next(pf.iter_batches(batch_size=self.sample_rows,
+                                         row_groups=row_groups[:1],
+                                         columns=self.columns))
+            sample = pa.Table.from_batches([first])
+        except StopIteration:  # zero-row partition: plan from empty columns
+            sample = pf.schema_arrow.empty_table()
+            if self.columns:
+                sample = sample.select(list(self.columns))
         sketches = {}
         trained = {}
         ipc_cols = []

@@ -233,3 +233,15 @@ def test_scan_encoded_timestamp_bounds(ray_session, tmp_path):
                        range_filters={"ts": (lo, hi)}).to_pandas()
     expect = [i for i in range(n) if lo <= ts[i] <= hi]
     assert sorted(got["event_id"]) == expect and len(expect) == 61
+
+
+def test_encode_zero_row_input(ray_session, tmp_path):
+    """Zero-row parquet: plan, encode, verify and decode all succeed."""
+    src = tmp_path / "empty.parquet"
+    pq.write_table(pa.table({"a": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.string())}), src)
+    enc = tmp_path / "enc"
+    m = encode_files([str(src)], enc, target_bytes=1 << 20).to_pandas()
+    assert len(m) == 1 and int(m["rows"].sum()) == 0
+    v = verify_files([str(src)], enc, target_bytes=1 << 20).to_pandas()
+    assert v["ok"].all()
