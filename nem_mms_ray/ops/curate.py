@@ -104,6 +104,15 @@ def curate_documents(ds, quality_min: float = 0.0, lang: str | None = None,
             num_cpus=1,
         )
 
+    def partial_winners(t: pa.Table) -> pa.Table:
+        # combiner: per-batch winner per fingerprint BEFORE the shuffle —
+        # a mega-duplicate fp (e.g. a boilerplate page repeated across the
+        # corpus) then contributes at most one row per batch to its bucket
+        # instead of concentrating every occurrence in one task
+        df = t.to_pandas()
+        w = df.loc[df.groupby("fp")["doc_id"].idxmin()]
+        return pa.Table.from_pandas(w, preserve_index=False)
+
     def add_bucket(t: pa.Table) -> pa.Table:
         # first 15 hex chars of the md5 -> int; uniform by construction
         fp = t.column("fp").to_pylist()
@@ -120,7 +129,8 @@ def curate_documents(ds, quality_min: float = 0.0, lang: str | None = None,
         })
 
     return (
-        labeled.map_batches(add_bucket, batch_format="pyarrow")
+        labeled.map_batches(partial_winners, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pick_winners, batch_format="pandas")
     )
