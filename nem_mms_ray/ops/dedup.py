@@ -72,6 +72,13 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     extra pair referencing the same id), (2) group by hash(a, b) to bring a
     pair's two sides together and score.  Coarse buckets (`n_buckets`) keep
     Ray group count flat regardless of key cardinality.
+
+    Known skew bound: an id referenced by M pairs puts M rows in its attach
+    bucket (the scoring shuffle re-spreads by hash(a, b)).  Candidate
+    generation's chain-to-min guard keeps M linear in that id's duplicate
+    count, so the attach task's memory is O(duplicates x ~50 B) + its own
+    payload — cap the duplicate-set size upstream (exact-dedup first) if a
+    single boilerplate page can dominate a corpus.
     """
     PAYLOAD_SCHEMA = pa.schema(
         [("jid", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
