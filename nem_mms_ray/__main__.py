@@ -16,6 +16,8 @@ Usage:
   python -m nem_mms_ray gen -o DIR --rows 50000
   python -m nem_mms_ray curate DOCS.parquet -o OUT.parquet \
          [--quality-min 0.5] [--lang en]
+  python -m nem_mms_ray scan ENC_DIR -o OUT_DIR [--columns a,b] \
+         [--range col lo hi ...]   # zone-map predicate pushdown
 """
 
 from __future__ import annotations
@@ -72,6 +74,38 @@ def cmd_decode(args) -> int:
 
     df = decode_files(args.enc_dir, args.out).to_pandas()
     print(json.dumps({"partitions": len(df), "rows": int(df["rows"].sum())}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
+def cmd_scan(args) -> int:
+    """Predicate-pushdown scan over an encoded dir; writes matching rows as
+    plain parquet.  Bounds parse as float, int, then ISO timestamp."""
+    ray, owned = _init_ray(args.num_cpus)
+    from nem_mms_ray.pipelines.decode import scan_encoded
+
+    def parse_bound(x: str):
+        if x in ("none", "None", ""):
+            return None
+        for cast in (int, float):
+            try:
+                return cast(x)
+            except ValueError:
+                pass
+        import pandas as pd
+
+        return pd.Timestamp(x)
+
+    filters = {col: (parse_bound(lo), parse_bound(hi))
+               for col, lo, hi in (args.range or [])}
+    cols = args.columns.split(",") if args.columns else None
+    ds = scan_encoded(args.enc_dir, columns=cols, range_filters=filters or None)
+    ds.write_parquet(args.out)
+    import ray.data as rd
+
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"rows": n, "out": args.out}))
     if owned:
         ray.shutdown()
     return 0
@@ -162,6 +196,15 @@ def main(argv: list[str] | None = None) -> int:
     pd_ = sub.add_parser("describe", help="codec registry + manifest metrics")
     pd_.add_argument("out_dir", nargs="?", default=None)
     pd_.set_defaults(fn=cmd_describe)
+
+    ps = sub.add_parser("scan", help="zone-map range scan over encoded partitions")
+    ps.add_argument("enc_dir")
+    ps.add_argument("-o", "--out", required=True)
+    ps.add_argument("--columns", default=None)
+    ps.add_argument("--range", nargs=3, action="append",
+                    metavar=("COL", "LO", "HI"))
+    ps.add_argument("--num-cpus", type=int, default=None)
+    ps.set_defaults(fn=cmd_scan)
 
     pc = sub.add_parser("curate", help="quality/lang gate + exact dedup over documents")
     pc.add_argument("inputs", nargs="+")

@@ -64,3 +64,21 @@ def test_cli_curate(ray_session, tmp_path, capsys):
           "-o", str(tmp_path / "cur"), "--quality-min", "0.5"])
     res = json.loads(capsys.readouterr().out.strip())
     assert res["input_rows"] == 500 and 0 < res["curated_rows"] <= 500
+
+
+def test_cli_scan(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))}),
+                   src, row_group_size=1000)
+    enc = tmp_path / "enc"
+    encode_files([str(src)], enc, target_bytes=1 << 16).to_pandas()
+    assert main(["scan", str(enc), "-o", str(tmp_path / "out"),
+                 "--columns", "k", "--range", "k", "100", "200"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["rows"] == 101
