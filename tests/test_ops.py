@@ -559,3 +559,38 @@ def test_repetition_and_quantiles(ray_session):
                        "value": np.arange(101, dtype=np.float64)})
     q = exact_value_quantiles(rd.from_pandas(df), qs=(0.0, 0.5, 1.0))
     assert q.column("value").to_pylist() == [0.0, 50.0, 100.0]
+
+
+def test_pairs_payload_metric_randomized(ray_session):
+    """Randomized (seeded) check of the shuffle-join verify against a local
+    reference: many pairs, shared ids, missing ids, carry column."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import pairs_payload_metric
+
+    rng = np.random.default_rng(17)
+    n_ids = 120
+    payload_of = {i: bytes(rng.integers(0, 256, rng.integers(1, 9)).astype(np.uint8))
+                  for i in range(n_ids)}
+    pairs = set()
+    while len(pairs) < 300:
+        a, b = sorted(rng.integers(0, n_ids + 10, 2))  # some ids missing
+        if a != b:
+            pairs.add((int(a), int(b)))
+    pairs = sorted(pairs)
+    carry_vals = {p: float(rng.integers(0, 100)) for p in pairs}
+    pairs_ds = rd.from_items([{"a": a, "b": b, "w": carry_vals[(a, b)]}
+                              for a, b in pairs])
+    pay_ds = rd.from_items([{"jid": i, "payload": payload_of[i]}
+                            for i in range(n_ids)])
+
+    def metric(x, y, w=0.0):
+        return float(len(x) + 2 * len(y) + w)
+
+    out = pairs_payload_metric(pairs_ds, pay_ds, metric, "m",
+                               carry=("w",)).to_pandas()
+    got = {(int(r.a), int(r.b)): r.m for r in out.itertuples()}
+    expect = {(a, b): float(len(payload_of.get(a, b"")) +
+                            2 * len(payload_of.get(b, b"")) + carry_vals[(a, b)])
+              for a, b in pairs}
+    assert got == expect
