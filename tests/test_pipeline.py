@@ -245,3 +245,17 @@ def test_encode_zero_row_input(ray_session, tmp_path):
     assert len(m) == 1 and int(m["rows"].sum()) == 0
     v = verify_files([str(src)], enc, target_bytes=1 << 20).to_pandas()
     assert v["ok"].all()
+
+
+def test_one_chunk_per_encoded_row_group(ray_session, web_dir, tmp_path):
+    """Zone-map pruning is a parquet-level skip only because each encoded
+    row group holds exactly one chunk — pin that layout invariant."""
+    out = tmp_path / "enc"
+    encode_files(_paths(web_dir), out, target_bytes=TARGET).to_pandas()
+    f = sorted(out.glob("part-*.parquet"))[0]
+    pf = pq.ParquetFile(f)
+    assert pf.metadata.num_row_groups >= 1
+    for rg in range(pf.metadata.num_row_groups):
+        cis = set(pf.read_row_group(rg, columns=["chunk_idx"])
+                  .column("chunk_idx").to_pylist())
+        assert len(cis) == 1
