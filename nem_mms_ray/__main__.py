@@ -44,7 +44,8 @@ def cmd_encode(args) -> int:
     from nem_mms_ray.pipelines.encode import encode_files
     from nem_mms_ray.state.manifest import Manifest
 
-    df = encode_files(args.inputs, args.out,
+    cols = args.columns.split(",") if args.columns else None
+    df = encode_files(args.inputs, args.out, columns=cols,
                       target_bytes=args.target_mb << 20).to_pandas()
     summ = Manifest(args.out).summary()
     print(json.dumps({"partitions_run": len(df),
@@ -58,7 +59,8 @@ def cmd_verify(args) -> int:
     ray, owned = _init_ray(args.num_cpus)
     from nem_mms_ray.pipelines.decode import verify_files
 
-    df = verify_files(args.inputs, args.out,
+    cols = args.columns.split(",") if args.columns else None
+    df = verify_files(args.inputs, args.out, columns=cols,
                       target_bytes=args.target_mb << 20).to_pandas()
     ok = bool(df["ok"].all())
     bad = df.loc[~df["ok"], ["pid", "mismatched_columns"]].to_dict("records")
@@ -177,6 +179,8 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("inputs", nargs="+")
     pe.add_argument("-o", "--out", required=True)
     pe.add_argument("--target-mb", type=int, default=64)
+    pe.add_argument("--columns", default=None,
+                    help="comma-separated column projection")
     pe.add_argument("--num-cpus", type=int, default=None)
     pe.set_defaults(fn=cmd_encode)
 
@@ -184,6 +188,8 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("inputs", nargs="+")
     pv.add_argument("-o", "--out", required=True)
     pv.add_argument("--target-mb", type=int, default=64)
+    pv.add_argument("--columns", default=None,
+                    help="comma-separated column projection")
     pv.add_argument("--num-cpus", type=int, default=None)
     pv.set_defaults(fn=cmd_verify)
 
