@@ -39,13 +39,27 @@ def _init_ray(num_cpus: int | None):
     return ray, owned
 
 
+def _expand_inputs(inputs: list[str]) -> list[str]:
+    """Directories expand to their *.parquet members (sorted)."""
+    from pathlib import Path
+
+    out: list[str] = []
+    for p in inputs:
+        pp = Path(p)
+        if pp.is_dir():
+            out.extend(sorted(str(f) for f in pp.glob("*.parquet")))
+        else:
+            out.append(str(pp))
+    return out
+
+
 def cmd_encode(args) -> int:
     ray, owned = _init_ray(args.num_cpus)
     from nem_mms_ray.pipelines.encode import encode_files
     from nem_mms_ray.state.manifest import Manifest
 
     cols = args.columns.split(",") if args.columns else None
-    df = encode_files(args.inputs, args.out, columns=cols,
+    df = encode_files(_expand_inputs(args.inputs), args.out, columns=cols,
                       target_bytes=args.target_mb << 20).to_pandas()
     summ = Manifest(args.out).summary()
     print(json.dumps({"partitions_run": len(df),
@@ -60,7 +74,7 @@ def cmd_verify(args) -> int:
     from nem_mms_ray.pipelines.decode import verify_files
 
     cols = args.columns.split(",") if args.columns else None
-    df = verify_files(args.inputs, args.out, columns=cols,
+    df = verify_files(_expand_inputs(args.inputs), args.out, columns=cols,
                       target_bytes=args.target_mb << 20).to_pandas()
     ok = bool(df["ok"].all())
     bad = df.loc[~df["ok"], ["pid", "mismatched_columns"]].to_dict("records")
