@@ -95,7 +95,8 @@ def plan_partitions(
     """
     if not paths:
         raise ValueError("plan_partitions: no input paths given")
-    sorted_paths = sorted(str(p) for p in paths)
+    sorted_paths = sorted({str(p) for p in paths})  # dedupe: double-listed
+    # inputs must not double-encode (and double-count) a file
     metas = _row_group_metas(sorted_paths)
     specs: list[PartitionSpec] = []
     pid = 0

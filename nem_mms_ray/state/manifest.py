@@ -66,7 +66,7 @@ class Manifest:
         guards single partitions, this guards the whole run."""
         self.init()
         data = json.dumps({
-            "inputs": sorted(str(p) for p in inputs),
+            "inputs": sorted({str(p) for p in inputs}),
             "target_bytes": int(target_bytes),
             "n_partitions": int(n_partitions),
         }, sort_keys=True).encode()
@@ -88,7 +88,7 @@ class Manifest:
             return  # fresh out_dir (or pre-header manifest): nothing to check
         with open(p) as f:
             hdr = json.load(f)
-        want = sorted(str(x) for x in inputs)
+        want = sorted({str(x) for x in inputs})
         if hdr.get("inputs") != want or hdr.get("target_bytes") != int(target_bytes):
             raise ValueError(
                 f"manifest at {self.dir} was written by a different run "
