@@ -9,13 +9,15 @@ shuffle-free per-partition encode.
 
 Layout:
   codecs/     pure encode/decode kernels over pyarrow Arrays
-              (plain, for+bitpack, dict, rle, fsst)
+              (plain, for+gcd, bitpack, delta, dict, rle, alp, fsst, ipc)
   stats.py    merge-order-invariant column sketches (KMV ndv, runs, sizes)
   selector.py sketch -> codec plan (the Package::from_information_record analog)
-  pipelines/  end-to-end Ray pipelines (encode, decode/verify)
-  state/      checkpoint manifest with per-partition lineage
-  ops/        large-scale training-data operators (dedup, ann, text stats,
-              multimodal stubs)
+  pipelines/  end-to-end Ray pipelines (encode with zone maps,
+              decode/verify, predicate-pushdown scan)
+  state/      checkpoint manifest with per-partition + run-level lineage
+  ops/        large-scale training-data operators (dedup with distributed
+              pair verify, ann incl. persisted IVF index, text stats,
+              composed curation, real-kernel multimodal stages)
   webtable.py deterministic Common-Crawl-style input synthesis (FIXTURES.md F1)
 """
 
