@@ -76,7 +76,16 @@ def pricing_summary(ds):
 
 def revenue_by_segment(orders_ds, customers_ds):
     """Broadcast join: customer (small side) shipped once via ray.put, looked
-    up per batch — no shuffle join (ray_guide 'Joins and lookups')."""
+    up per batch — no shuffle join (ray_guide 'Joins and lookups').
+
+    INNER-join semantics (matches the SQL oracle): orders whose o_custkey is
+    absent from customers are excluded from revenue and COUNTED + LOGGED per
+    batch (no-silent-caps rule; TPC-H referential integrity means zero in
+    practice); segments with no matching orders in a batch emit no partial
+    row, so a globally unmatched segment is absent from the result rather
+    than surfacing as revenue 0.0 (ADVICE r2).  Duplicate c_custkey values
+    (not possible on a key column) would resolve to the first sorted
+    occurrence."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -97,13 +106,22 @@ def revenue_by_segment(orders_ds, customers_ds):
             k = np.asarray(batch.column("o_custkey"), np.int64)
             pos = np.clip(np.searchsorted(self.keys, k), 0, len(self.keys) - 1)
             hit = self.keys[pos] == k
+            n_miss = int((~hit).sum())
+            if n_miss:
+                logger.warning(
+                    "revenue_by_segment: %d order(s) in batch have no "
+                    "matching customer — excluded (inner-join semantics)",
+                    n_miss)
             price = np.asarray(batch.column("o_totalprice"), np.float64)
-            # partial combiner: one row per segment leaves the batch
+            # partial combiner: one row per segment WITH HITS leaves the batch
             sums = np.bincount(self.codes[pos][hit], weights=price[hit],
                                minlength=len(self.names))
+            cnts = np.bincount(self.codes[pos][hit], minlength=len(self.names))
+            nz = cnts > 0
             return pa.table({
-                "c_mktsegment": pa.array(self.names.tolist(), pa.string()),
-                "rev_p": pa.array(sums, pa.float64()),
+                "c_mktsegment": pa.array(np.asarray(self.names)[nz].tolist(),
+                                         pa.string()),
+                "rev_p": pa.array(sums[nz], pa.float64()),
             })
 
     joined = orders_ds.map_batches(JoinSegment, batch_format="pyarrow",
@@ -166,16 +184,30 @@ def events_per_user_hour(events_ds):
     )
 
 
-def events_running_seq(events_ds):
+def events_running_seq(events_ds, n_buckets: int = 64):
     """Per-user running sequence number ordered by (ts, event_id) — the
-    partitioned window-function shape (SQL: row_number() OVER).  Groups fit
-    in memory per user; the shuffle key is user_id."""
-    def seq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["seq"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    partitioned window-function shape (SQL: row_number() OVER).
+
+    Scale shape: shuffle on a user-hash bucket (bounded Ray group count,
+    same pattern as sessionize/sliding below — one Ray group per user was
+    the r2 VERDICT's per-group-overhead finding) then one vectorized
+    cumcount per bucket; every user's rows land in one bucket so the
+    per-user order is total after the in-group sort."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        return t.append_column("bucket", pa.array((u % n_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _warn_skewed_users(g, "events_running_seq")
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        g["seq"] = (g.groupby("user_id", sort=False).cumcount() + 1).astype(np.int64)
         return g[["user_id", "event_id", "seq"]]
 
-    return events_ds.groupby("user_id").map_groups(seq, batch_format="pandas")
+    return (
+        events_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def sessionize_events(events_ds, gap_minutes: int = 30, n_buckets: int = 64):
@@ -346,7 +378,11 @@ def exact_value_quantiles(ds, col: str = "value", qs: tuple = (0.25, 0.5, 0.75),
     column.  The sorted dataset materializes once in the object store;
     each quantile then costs one split + a single-row take — the driver
     never sees more than one row per quantile.  SQL mirror: row_number()
-    OVER (ORDER BY col) at the same ranks."""
+    OVER (ORDER BY col) at the same ranks.
+
+    This is the deliberate `Dataset.sort` coverage / oracle variant; at
+    100 TB use `sampled_exact_quantiles` below — same exact answer, no
+    all-to-all sort (VERDICT r2 finding 4)."""
     import pyarrow as pa
 
     n = ds.count()
@@ -361,5 +397,124 @@ def exact_value_quantiles(ds, col: str = "value", qs: tuple = (0.25, 0.5, 0.75),
         row = part.take(1)[0]
         out_q.append(float(q))
         out_v.append(float(row[col]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
+def sampled_exact_quantiles(ds, col: str = "value",
+                            qs: tuple = (0.25, 0.5, 0.75),
+                            sample_mod: int = 64):
+    """EXACT order-statistic quantiles WITHOUT a distributed sort — the
+    100 TB path (the sample + exact-rank two-pass VERDICT r2 recommended
+    over `exact_value_quantiles`' full `ds.sort`).
+
+    Three streaming passes, no shuffle, tiny driver state:
+      1. sample: per batch, keep distinct values whose bit-pattern hash is
+         0 mod `sample_mod` (any sample works — exactness never depends on
+         it), plus every batch's min/max/count.  Driver gets ~n_distinct /
+         sample_mod cut candidates.
+      2. rank: one map_batches computes, per batch, searchsorted counts of
+         rows below each cut (cuts broadcast once via ray.put); a Sum
+         aggregate yields the EXACT global rank of every cut.
+      3. resolve: target rank k = floor(q*(n-1)) falls in one inter-cut gap
+         [c_j, c_{j+1}); collect that gap's values as (value, count) partials
+         (np.unique per batch) and index into the merged, sorted gap.
+
+    Same answer as `exact_value_quantiles` / the SQL row_number() oracle,
+    bit for bit.  Driver memory: O(cuts + distinct values inside the probed
+    gaps) — expected gap width is sample_mod rows; a mega-duplicate value
+    inside a gap contributes ONE (value, count) row per batch, so the
+    resolve pass is bounded by gap distinct-value count, not row count.
+    """
+    import ray
+
+    if not isinstance(col, str):
+        raise TypeError("col must be a column name")
+
+    # -- pass 1: deterministic value sample + exact n ------------------------
+    def sample_batch(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(col), np.float64)
+        u = np.unique(v)
+        h = pd.util.hash_array(u.view(np.uint64))
+        cuts = u[h % sample_mod == 0]
+        # batch min/max ride along so the cut ladder always brackets the
+        # global range even when no value hashes to 0 in a batch
+        if len(u):
+            cuts = np.unique(np.concatenate([cuts, u[:1], u[-1:]]))
+        return pa.table({"cut": pa.array(cuts, pa.float64()),
+                         "n": pa.array(np.full(len(cuts), len(v) / max(len(cuts), 1),
+                                               np.float64))})
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    n = ds.map_batches(count_batch, batch_format="pyarrow").sum("n")
+    if not n:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    cuts = np.unique(np.asarray(
+        ds.map_batches(sample_batch, batch_format="pyarrow")
+          .select_columns(["cut"]).to_pandas()["cut"], np.float64))
+
+    # -- pass 2: exact rank of every cut -------------------------------------
+    cref = ray.put(cuts)
+
+    def ranks_batch(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = np.sort(np.asarray(t.column(col), np.float64))
+        below = np.searchsorted(v, c, side="left").astype(np.int64)
+        return pa.table({"ci": pa.array(np.arange(len(c), dtype=np.int64)),
+                         "below": pa.array(below)})
+
+    rk = (ds.map_batches(ranks_batch, batch_format="pyarrow")
+            .groupby("ci").aggregate(Sum("below", alias_name="below"))
+            .to_pandas().sort_values("ci"))
+    below = rk["below"].to_numpy(np.int64)  # rank of cuts[i] (rows strictly <)
+
+    # -- pass 3: resolve each target rank inside its gap ---------------------
+    targets = {float(q): int(np.floor(q * (n - 1))) for q in qs}
+    # gap j holds zero-based ranks [below[j], below[j+1]) for value range
+    # [cuts[j], cuts[j+1]); ranks >= below[-1] live in [cuts[-1], +inf)
+    need_gaps = sorted({int(np.searchsorted(below, k, side="right") - 1)
+                        for k in targets.values()})
+    lows = cuts[need_gaps]
+    highs = np.array([cuts[j + 1] if j + 1 < len(cuts) else np.inf
+                      for j in need_gaps])
+    gref = ray.put((lows, highs))
+
+    def gap_values(t: pa.Table) -> pa.Table:
+        lo, hi = ray.get(gref)
+        v = np.asarray(t.column(col), np.float64)
+        outs_g, outs_v, outs_c = [], [], []
+        for gi in range(len(lo)):
+            sel = v[(v >= lo[gi]) & (v < hi[gi])]
+            if len(sel):
+                uv, cnt = np.unique(sel, return_counts=True)
+                outs_g.append(np.full(len(uv), gi, np.int64))
+                outs_v.append(uv)
+                outs_c.append(cnt.astype(np.int64))
+        if not outs_g:
+            return pa.table({"gi": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"gi": pa.array(np.concatenate(outs_g)),
+                         "v": pa.array(np.concatenate(outs_v)),
+                         "c": pa.array(np.concatenate(outs_c))})
+
+    gaps = (ds.map_batches(gap_values, batch_format="pyarrow")
+              .to_pandas().groupby(["gi", "v"], as_index=False)["c"].sum())
+    out_q, out_v = [], []
+    for q in sorted(targets):
+        k = targets[q]
+        j = int(np.searchsorted(below, k, side="right") - 1)
+        gi = need_gaps.index(j)
+        sub = gaps[gaps["gi"] == gi].sort_values("v")
+        run = sub["c"].to_numpy(np.int64).cumsum()
+        # k - below[j] = zero-based rank within this gap
+        idx = int(np.searchsorted(run, k - below[j], side="right"))
+        out_q.append(q)
+        out_v.append(float(sub["v"].to_numpy()[idx]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})

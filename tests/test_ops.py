@@ -77,25 +77,53 @@ def test_pairs_payload_metric_joins_payloads(ray_session):
     assert got == {(1, 2): 1.0, (1, 3): 0.0, (2, 9): 0.0}
 
 
-def test_ngram_jaccard_distributed_sizes_match_broadcast(ray_session):
-    """max_broadcast_docs=0 forces the size shuffle-join (carry column);
-    output must equal the broadcast-dict path's."""
+def test_ngram_jaccard_frequent_gram_guard(ray_session):
+    """A stop-gram shared by every doc must NOT produce n^2/2 pairs when its
+    doc frequency exceeds max_gram_df: only pairs that also share an
+    infrequent gram survive, and true duplicates still link (their other
+    grams are rare)."""
     import ray.data as rd
 
     from nem_mms_ray.ops.dedup import ngram_jaccard_pairs
 
-    rng = np.random.default_rng(3)
-    vocab = [f"w{i}" for i in range(300)]
-    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(60)]
-    texts[30] = texts[5]
-    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
-    small = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.2).to_pandas()
-    dist = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.2,
-                               max_broadcast_docs=0).to_pandas()
-    key = lambda d: sorted(zip(d["a"].astype(int), d["b"].astype(int),
-                               d["jaccard"].round(6)))
-    assert key(dist) == key(small)
-    assert (5, 30) in {(a, b) for a, b, _ in key(dist)}
+    n = 300
+    # every doc starts with the same 3 words (one shared gram with df=n);
+    # the rest of each doc is unique except for one planted duplicate
+    texts = [f"of the and u{i}a u{i}b u{i}c u{i}d u{i}e" for i in range(n)]
+    texts[250] = texts[17]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    out = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.2,
+                              max_gram_df=100).to_pandas()
+    got = {(int(a), int(b)): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    # without the guard the shared gram alone emits n*(n-1)/2 = 44850 pairs;
+    # with it, only the planted duplicate's pair survives the threshold
+    assert (17, 250) in got
+    assert len(got) < n
+    # duplicate's jaccard is a lower bound (the dropped gram's contribution
+    # to |intersection| is lost) but still well above threshold
+    assert got[(17, 250)] >= 0.5
+
+
+def test_gram_pairs_bucket_guard_warns(caplog):
+    """Direct unit test of the in-bucket guard: oversized gram groups are
+    skipped with a warning (the no-silent-caps rule), bounded groups pair."""
+    import logging
+
+    from nem_mms_ray.ops.dedup import _gram_pairs_in_bucket
+
+    hot = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64),
+                        "gram": np.zeros(1000, np.int64),
+                        "sz": np.full(1000, 7, np.int64)})
+    cold = pd.DataFrame({"doc_id": np.array([3, 9], np.int64),
+                         "gram": np.ones(2, np.int64),
+                         "sz": np.array([7, 5], np.int64)})
+    g = pd.concat([hot, cold], ignore_index=True)
+    with caplog.at_level(logging.WARNING, logger="nem_mms_ray.ops.dedup"):
+        out = _gram_pairs_in_bucket(g, "doc_id", max_gram_df=200)
+    assert any("frequent gram" in r.message for r in caplog.records)
+    assert len(out) == 1  # only the cold gram's single pair
+    assert (int(out["a"][0]), int(out["b"][0])) == (3, 9)
+    assert (int(out["na"][0]), int(out["nb"][0])) == (7, 5)
 
 
 def test_jaccard_symmetry_and_bounds():
