@@ -297,10 +297,58 @@ def _curate_docs(sf_dir: str):
                             quality_min=0.5, lang="en")
 
 
+def _curate_docs_text(sf_dir: str):
+    """The curation composition's last mile: winner labels semi-joined back
+    against the source corpus so the pipeline ends in curated DATA (text +
+    labels), not label rows.  The oracle re-runs the full curate SQL with
+    the text column appended, so gate + dedup + join are hash-checked as
+    one unit."""
+    from nem_mms_ray.ops.curate import curate_documents_with_text
+
+    return curate_documents_with_text(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
+        quality_min=0.5, lang="en")
+
+
+def _events_value_quantiles_2pass(sf_dir: str):
+    """Same exact order-statistic answer as `events_value_quantiles`, via
+    the shuffle-free sample+exact-rank two-pass (`sampled_exact_quantiles`)
+    instead of a full distributed sort — the 100 TB path, checked against
+    the identical row_number() oracle."""
+    from nem_mms_ray.ops.relational import sampled_exact_quantiles
+
+    return sampled_exact_quantiles(_read(sf_dir, "events", ["value"]))
+
+
 def _simhash_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import simhash_batch
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _simhash_near_dups(sf_dir: str):
+    """SimHash pair-level validation in the guaranteed-recall regime:
+    identical texts have identical 64-bit signatures (all 4 bands match,
+    so LSH candidate recall is exactly 1), and near-pairs at max_hamming=0
+    over a slice with 10 planted duplicates are exactly the identical-text
+    pairs — the md5-equality join the DuckDB oracle runs.  (A distinct-text
+    64-bit collision would break the mirror; probability ~2^-64 per pair,
+    absent in the testdata.)  The hamming>0 neighborhood stays covered by
+    tests/test_ops.py simhash tests."""
+    import pyarrow.compute as pc
+
+    from nem_mms_ray.ops.dedup import simhash_near_pairs
+
+    def plant(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t.column("doc_id"), 10))
+        return pa.table({"doc_id": pc.add(sub.column("doc_id"), 1_000_000),
+                         "text": sub.column("text")})
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 200)),
+        batch_format="pyarrow")
+    aug = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    return simhash_near_pairs(aug, max_hamming=0)
 
 
 def _embedding_near_pairs(sf_dir: str):
@@ -355,6 +403,11 @@ def _rolling_fp_docs(sf_dir: str):
 
 
 def _ivf_ann_topk(sf_dir: str):
+    """IVF in the guaranteed-recall regime (nprobe == n_centroids makes the
+    probe exhaustive), so the brute-force top-k SQL is an EXACT mirror and
+    the whole IVF machinery — centroid build, list routing, probe search,
+    per-query merge — is oracle-checked.  The recall < 1 configuration
+    (nprobe=4) stays pinned by tests/test_ops.py::test_ivf_recall."""
     from nem_mms_ray.ops.ann import ivf_topk_cosine
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -364,7 +417,7 @@ def _ivf_ann_topk(sf_dir: str):
         if 0 in ids:
             q = np.asarray(batch.column("embedding").to_pylist()[ids.index(0)], np.float64)
             break
-    res = ivf_topk_cosine(ds, q, k=10)
+    res = ivf_topk_cosine(ds, q, k=10, n_centroids=16, nprobe=16)
     return pa.Table.from_pandas(res[["vec_id", "cosine", "rank"]], preserve_index=False)
 
 
@@ -584,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_nation": _customers_per_nation,
         "lineitem_revenue": _lineitem_revenue,
         "events_value_quantiles": _events_value_quantiles,
+        "events_value_quantiles_2pass": _events_value_quantiles_2pass,
         "embedding_norms": _embedding_norms,
         "mms_parse_demo": _mms_parse_demo,
         # encode-engine analytics (stats, selector, FOR plan)
@@ -600,10 +654,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup_docs": _exact_dedup_docs,
         "curate_docs": _curate_docs,
+        "curate_docs_text": _curate_docs_text,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "minhash_pairs": _minhash_pairs,
         "minhash_exact_dups": _minhash_exact_dups,
         "simhash_docs": _simhash_docs,
+        "simhash_near_dups": _simhash_near_dups,
         "embedding_near_pairs": _embedding_near_pairs,
         # similarity search
         "embedding_pairs_exact": _embedding_pairs_exact,
@@ -662,9 +718,12 @@ def _lang_id_oracle_sql() -> str:
     """
 
 
-def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en") -> str:
+def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en",
+                       with_text: bool = False) -> str:
     """DuckDB mirror of ops.curate.curate_documents: same lang VALUES
-    source, same quality formula, dedup winner = min doc_id per md5."""
+    source, same quality formula, dedup winner = min doc_id per md5.
+    with_text appends the winner's text column — the curate_docs_text
+    semi-join mirror."""
     from nem_mms_ray.ops.textstats import _STOPWORDS
 
     values = ", ".join(
@@ -724,7 +783,7 @@ def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en") -> str:
             SELECT min(doc_id) AS doc_id
             FROM f GROUP BY md5(coalesce(text, ''))
         )
-        SELECT f.doc_id, f.lang_pred, f.quality
+        SELECT f.doc_id, {"f.text, " if with_text else ""}f.lang_pred, f.quality
         FROM f JOIN w ON f.doc_id = w.doc_id
     """
 
@@ -758,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
         "curate_docs": _curate_oracle_sql(),
+        "curate_docs_text": _curate_oracle_sql(with_text=True),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6)  AS sum_qty,
@@ -815,6 +875,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "events_value_quantiles": """
+            WITH r AS (
+                SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                       count(*) OVER () AS n
+                FROM events
+            )
+            SELECT q, value
+            FROM (VALUES (0.25), (0.5), (0.75)) qs(q)
+            JOIN r ON r.rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
+        """,
+        "events_value_quantiles_2pass": """
             WITH r AS (
                 SELECT value, row_number() OVER (ORDER BY value) AS rn,
                        count(*) OVER () AS n
@@ -984,6 +1054,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = inter.b
             WHERE i = sa.n + sb.n - i
         """,
+        "simhash_near_dups": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id < 10
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b, 0::BIGINT AS hamming
+            FROM aug x JOIN aug y
+              ON x.doc_id < y.doc_id
+             AND md5(coalesce(x.text, '')) = md5(coalesce(y.text, ''))
+        """,
         "embedding_near_pairs": """
             WITH aug AS (
                 SELECT vec_id, embedding::DOUBLE[] AS embedding
@@ -1017,6 +1099,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6)
                        AS cosine
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
+        "ivf_ann_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6)
+                       AS cosine,
+                   row_number() OVER (
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       q.qe::DOUBLE[]) DESC,
+                                e.vec_id) AS rank
             FROM embeddings e, q
             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC,
                      e.vec_id

@@ -24,9 +24,14 @@
 typedef struct {
     uint16_t byte_code[256];    /* len-1 symbols */
     uint16_t two_code[65536];   /* len-2 symbols, direct-mapped */
+    /* merged probe for the no-len>=3-match path (paper's shortCodes):
+     * index = first two bytes; entry = len-2 code (len 2 in bits 12-13),
+     * else len-1 code of byte 0 (len 1), else 0x8000|byte0 = escape */
+    uint16_t short_code[65536];
     uint16_t b_start[NBUCKET + 1]; /* prefix sums into order[] */
     uint8_t order[256];         /* len>=3 codes sorted by (bucket, -len) */
     uint64_t sym_le[256];       /* symbol bytes little-endian, zero padded */
+    uint64_t sym_mask[256];     /* LEN_MASK[sym_len[s]], pre-resolved */
     uint8_t sym_len[256];
     int max_len;
 } SymTable;
@@ -58,6 +63,7 @@ static void build_table(SymTable *t, const uint8_t *sym_bytes,
         uint64_t le = 0;
         memcpy(&le, p, 8);      /* rows are zero padded to 8 */
         t->sym_le[s] = le & LEN_MASK[len];
+        t->sym_mask[s] = LEN_MASK[len];
         t->sym_len[s] = (uint8_t)len;
         if (len > t->max_len) t->max_len = len;
         if (len == 1) { t->byte_code[p[0]] = (uint16_t)s; continue; }
@@ -75,6 +81,16 @@ static void build_table(SymTable *t, const uint8_t *sym_bytes,
         acc += counts[b];
     }
     t->b_start[NBUCKET] = (uint16_t)acc;
+    for (int b0 = 0; b0 < 256; b0++) {
+        uint16_t base = (t->byte_code[b0] != 0xFFFF)
+                            ? (uint16_t)(t->byte_code[b0] | 0x1000)
+                            : (uint16_t)(0x8000 | b0);
+        for (int b1 = 0; b1 < 256; b1++)
+            t->short_code[((uint32_t)b0 << 8) | b1] = base;
+    }
+    for (uint32_t idx = 0; idx < 65536; idx++)
+        if (t->two_code[idx] != 0xFFFF)
+            t->short_code[idx] = (uint16_t)(t->two_code[idx] | 0x2000);
     uint16_t fill[NBUCKET];
     memcpy(fill, t->b_start, sizeof(fill));
     for (int s = 0; s < n_sym && s < 256; s++) {
@@ -97,6 +113,33 @@ static inline long encode_span(const SymTable *t, const uint8_t *in, long i,
                                long n, long safe_n, uint8_t *out, long o_in) {
     /* encode positions i..n; unaligned 8-byte loads allowed up to safe_n */
     long o = o_in;
+    /* fast region: while i <= fast_n, rem >= 8 (no per-candidate length
+     * check — every symbol is <= 8 bytes) and an unaligned 8-byte load is
+     * in bounds (no tail buffer).  This drops three branches from the
+     * per-position hot path; the generic loop below finishes the tail. */
+    long fast_n = ((n < safe_n ? n : safe_n)) - 8;
+    while (i <= fast_n) {
+        const uint8_t *p = in + i;
+        uint64_t v;
+        memcpy(&v, p, 8);
+        uint32_t h = hash3(p);
+        int k = t->b_start[h], end = t->b_start[h + 1];
+        int code = -1, mlen = 1;
+        for (; k < end; k++) {
+            int s = t->order[k];
+            if ((v & t->sym_mask[s]) == t->sym_le[s]) {
+                code = s; mlen = t->sym_len[s]; break;
+            }
+        }
+        if (code < 0) {
+            uint16_t e = t->short_code[((uint32_t)p[0] << 8) | p[1]];
+            if (e & 0x8000) { out[o++] = ESCAPE; out[o++] = p[0]; i += 1; }
+            else { out[o++] = (uint8_t)e; i += (e >> 12); }
+            continue;
+        }
+        out[o++] = (uint8_t)code;
+        i += mlen;
+    }
     while (i < n) {
         const uint8_t *p = in + i;
         long rem = n - i;

@@ -187,44 +187,71 @@ def parse_to_parquet(
         summary["files"] = len(seen_files)
         return summary
 
-    # reference layout: one writer per package file, driver-side
-    # (/root/reference/src/packages/mod.rs:196-237 semantics)
-    results = parse_dataset(input_path)
+    # reference layout: one writer per package file, streamed driver-side
+    # (/root/reference/src/packages/mod.rs:196-237 semantics).  CONTRACT:
+    # table payloads cross to the driver as IPC rows, but only ONE table is
+    # ever decoded in driver memory at a time — rows stream through
+    # iter_batches (with preserve_order, so (file, member, table) order is
+    # the input order) into per-package ParquetWriters.  The final names
+    # depend on whether ONE or MANY packages occur (path vs stem_PKG.path,
+    # /root/reference/src/packages/mod.rs:224-233), which is only known at
+    # end-of-stream — so writers target a temp dir and finish with a
+    # create-new-checked rename (the reference refuses to clobber,
+    # /root/reference/src/packages/mod.rs:116-120).
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_order = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    tmp_dir = Path(tempfile.mkdtemp(prefix=".nem_ref_layout_",
+                                    dir=str(out_path.parent or ".")))
     writers: dict[str, pq.ParquetWriter] = {}
-    rows = results.take_all()
-    rows.sort(key=lambda r: (r["file_idx"], r["member_idx"], r["table_idx"]))
-    packages = sorted({r["package"] for r in rows if r["package"]})
-
-    def target_for(pkg: str) -> Path:
-        # /root/reference/src/packages/mod.rs:224-233 naming semantics
-        if len(packages) == 1:
-            return out_path
-        if out_path.suffix:
-            return out_path.with_name(f"{out_path.stem}_{pkg}{out_path.suffix}")
-        return out_path / f"{pkg}.parquet"
-
     try:
-        for r in rows:
-            seen_files.add(r["file_idx"])
-            note_eor(r)
-            if not r["package"]:
-                summary["skipped"].append(r["skipped_header"])
-                continue
-            table = _unipc(r["ipc"])
-            pkg = r["package"]
-            if pkg not in writers:
-                tgt = target_for(pkg)
-                # create-new semantics: the reference refuses to clobber an
-                # existing output (/root/reference/src/packages/mod.rs:116-120)
-                if tgt.exists():
-                    raise FileExistsError(f"output already exists: {tgt}")
-                tgt.parent.mkdir(parents=True, exist_ok=True)
-                writers[pkg] = pq.ParquetWriter(tgt, table.schema)
-                summary["packages"][pkg] = {"rows": 0, "path": str(tgt)}
-            writers[pkg].write_table(table)
-            summary["packages"][pkg]["rows"] += table.num_rows
-    finally:
+        results = parse_dataset(input_path)
+        for batch in results.iter_batches(batch_size=1, batch_format="pyarrow"):
+            for r in batch.to_pylist():
+                seen_files.add(r["file_idx"])
+                note_eor(r)
+                if not r["package"]:
+                    summary["skipped"].append(r["skipped_header"])
+                    continue
+                table = _unipc(r["ipc"])
+                pkg = r["package"]
+                if pkg not in writers:
+                    writers[pkg] = pq.ParquetWriter(tmp_dir / f"{pkg}.parquet",
+                                                    table.schema)
+                    summary["packages"][pkg] = {"rows": 0}
+                writers[pkg].write_table(table)
+                summary["packages"][pkg]["rows"] += table.num_rows
         for w in writers.values():
             w.close()
+        packages = sorted(writers)
+
+        def target_for(pkg: str) -> Path:
+            # /root/reference/src/packages/mod.rs:224-233 naming semantics
+            if len(packages) == 1:
+                return out_path
+            if out_path.suffix:
+                return out_path.with_name(f"{out_path.stem}_{pkg}{out_path.suffix}")
+            return out_path / f"{pkg}.parquet"
+
+        targets = {pkg: target_for(pkg) for pkg in packages}
+        for pkg, tgt in targets.items():
+            if tgt.exists():
+                raise FileExistsError(f"output already exists: {tgt}")
+        for pkg, tgt in targets.items():
+            tgt.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(tmp_dir / f"{pkg}.parquet", tgt)
+            summary["packages"][pkg]["path"] = str(tgt)
+    finally:
+        ctx.execution_options.preserve_order = prev_order
+        for w in writers.values():
+            try:
+                w.close()
+            except Exception:
+                pass
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     summary["files"] = len(seen_files)
     return summary

@@ -261,6 +261,14 @@ def ivf_index_topk(index_dir, queries: np.ndarray, k: int = 10, nprobe: int = 4,
     lists = sorted({int(li) for row in probe for li in row})
     paths = [str(f) for li in lists
              for f in sorted(Path(f"{index_dir}/lists/list_id={li}").glob("*.parquet"))]
+    if not paths:
+        # every probed list is empty on disk (possible when sample-derived
+        # centroids win argmax for zero corpus vectors) — return an empty
+        # result at the output schema instead of read_parquet([]) raising
+        return pd.DataFrame({"query_idx": pd.Series([], dtype="int32"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64"),
+                             "rank": pd.Series([], dtype="int64")})
     wanted: dict[int, list[int]] = {}
     for qi, row in enumerate(probe):
         for li in row:

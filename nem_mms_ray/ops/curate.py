@@ -134,3 +134,111 @@ def curate_documents(ds, quality_min: float = 0.0, lang: str | None = None,
         .groupby("bucket")
         .map_groups(pick_winners, batch_format="pandas")
     )
+
+
+def curated_text_semijoin(source_ds, winners_ds, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_broadcast_ids: int = 5_000_000,
+                          n_buckets: int = 64):
+    """Semi-join the curation winners back against the source corpus —
+    the "last mile" that turns the ~50 B/doc winner labels into usable
+    curated DATA (reference analog: the pipeline ends in written tables,
+    src/packages/mod.rs:219-235, not summaries).
+
+    Returns Dataset[(doc_id, text, lang_pred, quality)].
+
+    Two shapes, auto-selected on the winner count:
+    - broadcast (winners <= max_broadcast_ids): the label rows — ids +
+      two small columns, no text — ship once via ray.put; one map_batches
+      over the source filters and attaches labels.  Zero shuffles; the
+      text of survivors streams straight through.
+    - distributed (huge survivor sets): hash-bucket join — both sides
+      gain bucket = id % n_buckets, a single union+groupby co-locates
+      each id's label row with its source row, and the merge is a
+      vectorized pandas join per bucket.  Source text crosses the shuffle
+      exactly once (there is no way to pre-filter without knowing the
+      winner set), so exchange volume is O(corpus bytes) — callers whose
+      winner set fits memory should prefer raising max_broadcast_ids
+      (label rows are ~50 B: 5M winners ~ 250 MB driver/worker heap).
+    """
+    import ray
+
+    n_winners = winners_ds.count()
+    if n_winners <= max_broadcast_ids:
+        wdf = winners_ds.to_pandas()
+        lref = ray.put((
+            wdf[id_col].to_numpy(np.int64),
+            wdf["lang_pred"].to_numpy(object),
+            wdf["quality"].to_numpy(np.float64),
+        ))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ids_w, lang_w, q_w = ray.get(lref)
+            order = np.argsort(ids_w)
+            sk = ids_w[order]
+            ids = np.asarray(batch.column(id_col), np.int64)
+            pos = np.searchsorted(sk, ids)
+            pos = np.clip(pos, 0, max(len(sk) - 1, 0))
+            hit = (sk[pos] == ids) if len(sk) else np.zeros(len(ids), bool)
+            mask = pa.array(hit)
+            widx = order[pos[hit]]
+            return pa.table({
+                id_col: batch.column(id_col).filter(mask).cast(pa.int64()),
+                text_col: batch.column(text_col).filter(mask),
+                "lang_pred": pa.array(lang_w[widx].tolist(), pa.string()),
+                "quality": pa.array(q_w[widx], pa.float64()),
+            })
+
+        return source_ds.map_batches(attach, batch_format="pyarrow")
+
+    # distributed hash-bucket join (winner set too large to broadcast)
+    def tag_source(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            text_col: t.column(text_col),
+            "lang_pred": pa.nulls(len(ids), pa.string()),
+            "quality": pa.nulls(len(ids), pa.float64()),
+            "side": pa.array(np.ones(len(ids), np.int8)),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    def tag_winners(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            text_col: pa.nulls(len(ids), pa.string()),
+            "lang_pred": t.column("lang_pred"),
+            "quality": t.column("quality"),
+            "side": pa.array(np.zeros(len(ids), np.int8)),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == 0]
+        src = g[g["side"] == 1]
+        keep = src[src[id_col].isin(lab[id_col])]
+        m = keep[[id_col, text_col]].merge(
+            lab[[id_col, "lang_pred", "quality"]], on=id_col, how="inner")
+        return m[[id_col, text_col, "lang_pred", "quality"]]
+
+    both = source_ds.map_batches(tag_source, batch_format="pyarrow").union(
+        winners_ds.map_batches(tag_winners, batch_format="pyarrow"))
+    return (both.groupby("bucket")
+                .map_groups(merge_bucket, batch_format="pandas"))
+
+
+def curate_documents_with_text(ds_factory, quality_min: float = 0.0,
+                               lang: str | None = None,
+                               id_col: str = "doc_id", text_col: str = "text",
+                               **semijoin_kw):
+    """curate_documents + curated_text_semijoin in one call.
+
+    `ds_factory` is a zero-arg callable returning a fresh source Dataset —
+    the corpus is read TWICE (label+dedup pass, then the semi-join pass);
+    passing a factory instead of a Dataset makes the double read explicit
+    and lets the second pass prune to (id, text) columns at the read."""
+    winners = curate_documents(ds_factory(), quality_min=quality_min,
+                               lang=lang, id_col=id_col, text_col=text_col)
+    return curated_text_semijoin(ds_factory(), winners, id_col=id_col,
+                                 text_col=text_col, **semijoin_kw)

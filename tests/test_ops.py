@@ -622,3 +622,115 @@ def test_pairs_payload_metric_randomized(ray_session):
                             2 * len(payload_of.get(b, b"")) + carry_vals[(a, b)])
               for a, b in pairs}
     assert got == expect
+
+
+def test_curated_text_semijoin_both_paths(ray_session):
+    """Broadcast and hash-bucket semi-join return the same curated rows
+    (doc_id, text, lang_pred, quality); non-winners never appear."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.curate import curate_documents, curated_text_semijoin
+
+    en = ("the quick brown fox jumps over the lazy dog and runs to the "
+          "hills with great speed for that is what foxes do in the wild ") * 5
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [en, en, "kurz", "short", en + "tail"],
+    })
+    src = lambda: rd.from_pandas(df)
+    winners = curate_documents(src(), quality_min=0.5, lang="en")
+    wins_pd = winners.to_pandas()
+
+    bc = curated_text_semijoin(src(), winners).to_pandas().sort_values("doc_id")
+    winners2 = curate_documents(src(), quality_min=0.5, lang="en")
+    dist = curated_text_semijoin(src(), winners2, max_broadcast_ids=0,
+                                 n_buckets=3).to_pandas().sort_values("doc_id")
+
+    for out in (bc, dist):
+        assert list(out["doc_id"]) == sorted(wins_pd["doc_id"])
+        assert list(out.columns) == ["doc_id", "text", "lang_pred", "quality"]
+        assert (out.set_index("doc_id")["text"]
+                == df.set_index("doc_id")["text"].loc[out["doc_id"]]).all()
+    pd.testing.assert_frame_equal(bc.reset_index(drop=True),
+                                  dist.reset_index(drop=True))
+
+
+def test_simhash_near_pairs_hamming_zero_is_exact_dups(ray_session):
+    """At max_hamming=0 over a high-entropy corpus the pair set equals the
+    identical-text pairs (the guaranteed-recall regime the
+    simhash_near_dups oracle runs).  Needs a rich vocabulary: tiny-vocab
+    docs (e.g. the 8-word docs_ds fixture) collide on all 64 bits at
+    realistic rates because the signature is a sign-sum over only 8
+    distinct word hashes."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import simhash_near_pairs
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(5000)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(200)]
+    texts[50] = texts[10]
+    texts[51] = texts[10]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    out = simhash_near_pairs(rd.from_pandas(df), max_hamming=0).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    expect = {(10, 50), (10, 51), (50, 51)}
+    assert got == expect
+    assert (out["hamming"] == 0).all()
+
+
+def test_ivf_exhaustive_probe_matches_bruteforce(ray_session):
+    """nprobe == n_centroids makes IVF exhaustive: top-k must equal the
+    brute-force ranking exactly (the ivf_ann_topk oracle regime)."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.ann import ivf_topk_cosine, topk_cosine
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((400, 16))
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": list(m)})
+    q = m[3]
+    bf = topk_cosine(rd.from_pandas(df), q, k=10)
+    ivf = ivf_topk_cosine(rd.from_pandas(df), q, k=10, n_centroids=8, nprobe=8)
+    assert list(ivf["vec_id"]) == list(bf["vec_id"])
+    np.testing.assert_allclose(ivf["cosine"], bf["cosine"], atol=1e-9)
+    assert list(ivf["rank"]) == list(range(1, 11))
+
+
+def test_ivf_index_topk_empty_probed_lists(ray_session, tmp_path):
+    """All-empty probed partitions return an empty typed frame instead of
+    read_parquet([]) raising (ADVICE r2)."""
+    from nem_mms_ray.ops.ann import ivf_index_topk
+
+    import pyarrow.parquet as pq
+
+    idx = tmp_path / "idx"
+    (idx / "lists").mkdir(parents=True)
+    pq.write_table(pa.table({
+        "list_id": pa.array([0, 1], pa.int32()),
+        "centroid": pa.FixedSizeListArray.from_arrays(
+            pa.array([1.0, 0.0, 0.0, 1.0], pa.float64()), 2),
+    }), str(idx / "centroids.parquet"))
+    out = ivf_index_topk(str(idx), np.array([[1.0, 0.0]]), k=5, nprobe=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["query_idx", "vec_id", "cosine", "rank"]
+
+
+def test_sampled_exact_quantiles_matches_sort(ray_session):
+    """The shuffle-free two-pass gives the same exact order statistics as
+    the full-sort variant, including with heavy duplicates."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.relational import (exact_value_quantiles,
+                                            sampled_exact_quantiles)
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.standard_normal(3000).round(2),
+                           np.full(500, 0.42)])  # duplicate spike
+    df = pd.DataFrame({"value": vals})
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    a = exact_value_quantiles(rd.from_pandas(df), qs=qs)
+    b = sampled_exact_quantiles(rd.from_pandas(df), qs=qs)
+    assert a.column("value").to_pylist() == b.column("value").to_pylist()
+    assert b.column("q").to_pylist() == sorted(qs)
