@@ -788,6 +788,59 @@ def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en",
     """
 
 
+def _rolling_fp_oracle_sql(window: int = 64) -> str:
+    """DuckDB mirror of ops.textstats.rolling_fingerprint_batch, exact on
+    ASCII text (unicode(char) == byte there; the testdata is ASCII).  The
+    2^64 wraparound arithmetic numpy does implicitly is reproduced with
+    HUGEINT sums mod 2^64 (mod is homomorphic over the wrapped products:
+    sum_j (b_j * p_j mod 2^64) mod 2^64 == (sum_j b_j * p_j) mod 2^64),
+    with min taken BEFORE the final mod 2^63, matching the numpy order.
+    The 64 power constants are generated from the same B here, so the Ray
+    stage and the oracle cannot drift."""
+    B = 1000003
+    pows, x = [], 1
+    for _ in range(window):
+        pows.append(x)
+        x = (x * B) % (1 << 64)
+    values = ", ".join(f"({j}, {p}::HUGEINT)" for j, p in enumerate(pows))
+    return f"""
+        WITH p(j, pw) AS (VALUES {values}),
+        d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        b AS (
+            SELECT doc_id, len(t) AS L,
+                   list_transform(range(1, len(t) + 1),
+                                  i -> unicode(substr(t, i::INT, 1))::HUGEINT)
+                       AS bytes
+            FROM d
+        ),
+        w AS (
+            SELECT doc_id, L, unnest(range(1, L + 1)) AS i, unnest(bytes) AS byte
+            FROM b
+        ),
+        lw AS (
+            SELECT w.doc_id, (w.i - p.j) AS win,
+                   sum(w.byte * p.pw) % 18446744073709551616::HUGEINT AS s
+            FROM w JOIN p ON w.i - p.j >= 1 AND w.i - p.j <= w.L - {window - 1}
+            WHERE w.L >= {window}
+            GROUP BY w.doc_id, (w.i - p.j)
+            HAVING count(*) = {window}
+        ),
+        lmin AS (
+            SELECT doc_id, (min(s) % 9223372036854775808::HUGEINT)::BIGINT AS rfp
+            FROM lw GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id,
+                   ((coalesce(sum(byte), 0) * {B})
+                    % 9223372036854775808::HUGEINT)::BIGINT AS rfp
+            FROM w WHERE L < {window} GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(l.rfp, s.rfp, 0)::BIGINT AS rfp
+        FROM d LEFT JOIN lmin l ON d.doc_id = l.doc_id
+               LEFT JOIN sh s ON d.doc_id = s.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
@@ -818,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curate_docs": _curate_oracle_sql(),
         "curate_docs_text": _curate_oracle_sql(with_text=True),
+        "rolling_fp_docs": _rolling_fp_oracle_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6)  AS sum_qty,
