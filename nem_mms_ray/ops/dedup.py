@@ -539,7 +539,8 @@ def _shingle_blobs(batch: pa.Table, ngram: int, id_col: str, text_col: str) -> p
 
 def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
                   bands: int = 16, ngram: int = 3,
-                  max_broadcast_pairs: int = 50_000):
+                  max_broadcast_pairs: int = 50_000,
+                  verify_buckets: int = 64):
     """Near-dup pairs verified by exact n-gram Jaccard >= threshold.
 
     Returns Dataset[(a, b, jaccard)].  Verify auto-selects by candidate
@@ -548,6 +549,9 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     shuffle-join (`pairs_payload_metric`) attaches each side's shingle blob
     and scores per pair — nothing materializes on the driver, so millions
     of candidates with GB-scale shingle payloads stay worker-side.
+    `verify_buckets` sizes that join's attach tasks (ADVICE r2): raise it
+    when referenced-payload volume per bucket (≈ candidate docs x blob
+    size / verify_buckets) approaches worker heap.
     """
     import functools
 
@@ -564,7 +568,8 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
                               id_col="doc_id", text_col="text"),
             batch_format="pyarrow",
         )
-        scored = pairs_payload_metric(cand, payloads, _jaccard_blobs, "jaccard")
+        scored = pairs_payload_metric(cand, payloads, _jaccard_blobs, "jaccard",
+                                      n_buckets=verify_buckets)
 
         def keep(t: pa.Table) -> pa.Table:
             j = np.asarray(t.column("jaccard"), np.float64)
@@ -756,7 +761,7 @@ def _cosine_blobs(pa_: bytes, pb_: bytes) -> float:
 def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
                          n_tables: int = 4, seed: int = 42,
                          vec_col: str = "embedding", id_col: str = "vec_id",
-                         n_buckets: int = 128):
+                         n_buckets: int = 128, verify_buckets: int = 64):
     """Cosine near-dup via multi-table random-hyperplane LSH + exact verify.
 
     Scale path (exact baseline: `ann.cosine_pairs_exact`): each vector lands
@@ -830,7 +835,7 @@ def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
     )
     scored = pairs_payload_metric(
         cand, ds.map_batches(vec_blobs, batch_format="pyarrow"),
-        _cosine_blobs, "cosine")
+        _cosine_blobs, "cosine", n_buckets=verify_buckets)
 
     def keep(t: pa.Table) -> pa.Table:
         c = np.asarray(t.column("cosine"), np.float64)
