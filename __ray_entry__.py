@@ -320,6 +320,42 @@ def _events_value_quantiles_2pass(sf_dir: str):
     return sampled_exact_quantiles(_read(sf_dir, "events", ["value"]))
 
 
+def _sample_docs(sf_dir: str):
+    """Deterministic content-hash Bernoulli sample at rate 1/4 — zero
+    shuffle, reproducible, mirrored by a single substr(md5) comparison."""
+    from nem_mms_ray.ops.sampling import hash_sample
+
+    return hash_sample(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       rate=0.25)
+
+
+def _token_topk_docs(sf_dir: str):
+    from nem_mms_ray.ops.sampling import token_topk
+
+    return token_topk(_read(sf_dir, "documents", ["text"]), k=20)
+
+
+def _lang_cap_docs(sf_dir: str):
+    """Per-language quota (first 50 docs by doc_id per lang) — the
+    balanced-mix cap a curation run applies per language/source."""
+    from nem_mms_ray.ops.sampling import stratified_cap
+
+    return stratified_cap(_read(sf_dir, "documents", ["doc_id", "lang"]),
+                          cap=50, group_col="lang", order_col="doc_id")
+
+
+def _lineitem_qty_quantiles_sketch(sf_dir: str):
+    """Mergeable quantile digest in its exact low-cardinality regime:
+    l_quantity has ~50 distinct values << capacity 512, so no centroid
+    ever compresses and the sketch returns exact order statistics — the
+    row_number() oracle regime.  The continuous-data error bound is
+    pinned by tests/test_ops.py::test_qdigest_error_bound."""
+    from nem_mms_ray.ops.qdigest import digest_quantiles
+
+    return digest_quantiles(_read(sf_dir, "lineitem", ["l_quantity"]),
+                            col="l_quantity", qs=(0.25, 0.5, 0.75))
+
+
 def _simhash_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import simhash_batch
 
@@ -651,6 +687,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _lang_id_docs,
         "repetition_docs": _repetition_docs,
         "rolling_fp_docs": _rolling_fp_docs,
+        # sampling / capping / sketches
+        "sample_docs": _sample_docs,
+        "token_topk_docs": _token_topk_docs,
+        "lang_cap_docs": _lang_cap_docs,
+        "lineitem_qty_quantiles_sketch": _lineitem_qty_quantiles_sketch,
         # dedup family
         "exact_dedup_docs": _exact_dedup_docs,
         "curate_docs": _curate_docs,
@@ -872,6 +913,39 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _curate_oracle_sql(),
         "curate_docs_text": _curate_oracle_sql(with_text=True),
         "rolling_fp_docs": _rolling_fp_oracle_sql(),
+        "sample_docs": """
+            SELECT doc_id, text FROM documents
+            WHERE substr(md5(coalesce(text, '')), 1, 4) < '4000'
+        """,
+        "token_topk_docs": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            ), c AS (
+                SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token
+            )
+            SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20
+        """,
+        "lang_cap_docs": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 50
+        """,
+        "lineitem_qty_quantiles_sketch": """
+            WITH r AS (
+                SELECT l_quantity AS value,
+                       row_number() OVER (ORDER BY l_quantity) AS rn,
+                       count(*) OVER () AS n
+                FROM lineitem
+            )
+            SELECT q, value::DOUBLE AS value
+            FROM (VALUES (0.25), (0.5), (0.75)) qs(q)
+            JOIN r ON r.rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6)  AS sum_qty,

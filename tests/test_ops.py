@@ -734,3 +734,109 @@ def test_sampled_exact_quantiles_matches_sort(ray_session):
     b = sampled_exact_quantiles(rd.from_pandas(df), qs=qs)
     assert a.column("value").to_pylist() == b.column("value").to_pylist()
     assert b.column("q").to_pylist() == sorted(qs)
+
+
+def test_hash_sample_deterministic_and_rate(ray_session):
+    """Same corpus -> same sample on repeat; empirical rate near nominal;
+    threshold formatting exact."""
+    import hashlib
+
+    import ray.data as rd
+
+    from nem_mms_ray.ops.sampling import hash_sample, sample_threshold
+
+    assert sample_threshold(0.25) == "4000"
+    assert sample_threshold(0.0) == "0000"
+    assert sample_threshold(1.0) == "g"  # above every hex digit: keeps all
+    rng = np.random.default_rng(2)
+    texts = [" ".join(map(str, rng.integers(0, 1e6, 8))) for _ in range(2000)]
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64), "text": texts})
+    a = hash_sample(rd.from_pandas(df), rate=0.25).to_pandas()
+    b = hash_sample(rd.from_pandas(df), rate=0.25).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert 0.18 < len(a) / 2000 < 0.32
+    # every kept doc really is below the threshold
+    for t in a["text"].head(20):
+        assert hashlib.md5(t.encode()).hexdigest()[:4] < "4000"
+
+
+def test_token_topk_exact(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.sampling import token_topk
+
+    df = pd.DataFrame({"text": ["a b b c C c", "c a", None, "  "]})
+    out = token_topk(rd.from_pandas(df), k=2).to_pandas()
+    assert list(out["token"]) == ["c", "a"]  # c:4 (case-folded), a:2
+    assert list(out["n"]) == [4, 2]
+
+
+def test_stratified_cap(ray_session):
+    """Global first-N per group survives multi-batch partials."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.sampling import stratified_cap
+
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64)[::-1],  # descending ids
+        "lang": np.where(np.arange(n) % 3 == 0, "en", "de"),
+    })
+    out = stratified_cap(rd.from_pandas(df).repartition(8), cap=5,
+                         group_col="lang", order_col="doc_id").to_pandas()
+    assert len(out) == 10
+    for lang, g in out.groupby("lang"):
+        expect = sorted(df[df["lang"] == lang]["doc_id"])[:5]
+        assert sorted(g["doc_id"]) == expect
+
+
+def test_qdigest_exact_low_cardinality(ray_session):
+    """<= capacity distinct values: digest quantiles are exact order
+    statistics across many batches (the oracle regime)."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.qdigest import digest_quantiles
+    from nem_mms_ray.ops.relational import exact_value_quantiles
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(1, 51, 20000).astype(np.float64)
+    df = pd.DataFrame({"value": vals})
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    sk = digest_quantiles(rd.from_pandas(df).repartition(16), qs=qs)
+    ex = exact_value_quantiles(rd.from_pandas(df), qs=qs)
+    assert sk.column("value").to_pylist() == ex.column("value").to_pylist()
+
+
+def test_qdigest_error_bound():
+    """Continuous data: rank error of each returned quantile is within
+    ~a few centroid widths (n / capacity)."""
+    from nem_mms_ray.ops.qdigest import (digest_batch, digest_quantile,
+                                         merge_digests)
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(60000)
+    parts = [digest_batch(c, 512) for c in np.array_split(x, 30)]
+    v, w = merge_digests(parts, 512)
+    # greedy packing closes a bin early when the next centroid would
+    # overflow it, so the bin count can exceed capacity by a few percent
+    assert len(v) <= 512 * 1.1
+    xs = np.sort(x)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        got = digest_quantile(v, w, q)
+        rank = np.searchsorted(xs, got)
+        assert abs(rank - q * len(x)) < 5 * len(x) / 512, q
+
+
+def test_qdigest_merge_exactness_any_order():
+    """Low-cardinality partials merge exactly regardless of grouping."""
+    from nem_mms_ray.ops.qdigest import digest_batch, digest_quantile, merge_digests
+
+    rng = np.random.default_rng(10)
+    x = rng.integers(0, 40, 5000).astype(np.float64)
+    chunks = np.array_split(x, 7)
+    a = merge_digests([digest_batch(c, 512) for c in chunks], 512)
+    b = merge_digests([digest_batch(c, 512) for c in chunks[::-1]], 512)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    xs = np.sort(x)
+    for q in (0.0, 0.33, 0.5, 1.0):
+        assert digest_quantile(*a, q) == xs[int(np.floor(q * (len(xs) - 1)))]
