@@ -99,7 +99,7 @@ def encode(sym_bytes: np.ndarray, sym_lens: np.ndarray, data: bytes) -> bytes:
     inp = np.frombuffer(data, np.uint8)
     lib = get_lib()
     if lib is not None:
-        out = _enc_scratch(2 * n)
+        out = _enc_scratch(2 * n + 64)  # dual-lane: lane B region at out+n
         m = lib.fsst_encode(
             _u8p(np.ascontiguousarray(sym_bytes)),
             _u8p(np.ascontiguousarray(sym_lens)),
@@ -137,7 +137,27 @@ def decode(sym_bytes: np.ndarray, sym_lens: np.ndarray, enc: bytes, out_size: in
 # ---------------------------------------------------------------------------
 
 
+# Inputs >= this size encode as two halves (C kernel's dual-lane scheme;
+# keep in sync with DUAL_MIN in fsst_kernel.c)
+_DUAL_MIN = 4096
+
+
+_NLANE = 2  # keep in sync with NLANE in fsst_kernel.c
+
+
 def _py_encode(sym_bytes: np.ndarray, sym_lens: np.ndarray, data: bytes) -> bytes:
+    if len(data) >= _DUAL_MIN:
+        # mirror of the C kernel's lane split (no recursion): encode each
+        # quarter as an independent span — matches cannot cross boundaries
+        q = len(data) // _NLANE
+        cuts = [L * q for L in range(_NLANE)] + [len(data)]
+        return b"".join(
+            _py_encode_span(sym_bytes, sym_lens, data[cuts[L]:cuts[L + 1]])
+            for L in range(_NLANE))
+    return _py_encode_span(sym_bytes, sym_lens, data)
+
+
+def _py_encode_span(sym_bytes: np.ndarray, sym_lens: np.ndarray, data: bytes) -> bytes:
     by_len: dict[int, dict[bytes, int]] = {}
     byte_code: dict[int, int] = {}
     max_len = 1

@@ -182,12 +182,63 @@ static inline long encode_span(const SymTable *t, const uint8_t *in, long i,
     return o;
 }
 
-/* out must have capacity >= 2*n. Returns bytes written. */
+/* One greedy step at *i, writing to out at *o.  Caller guarantees >= 8
+ * readable bytes at in + *i and that any match fits the lane. */
+static inline void enc_step(const SymTable *t, const uint8_t *in, long *i,
+                            uint8_t *out, long *o) {
+    const uint8_t *p = in + *i;
+    uint64_t v;
+    memcpy(&v, p, 8);
+    uint32_t h = hash3(p);
+    int k = t->b_start[h], end = t->b_start[h + 1];
+    for (; k < end; k++) {
+        int s = t->order[k];
+        if ((v & t->sym_mask[s]) == t->sym_le[s]) {
+            out[(*o)++] = (uint8_t)s;
+            *i += t->sym_len[s];
+            return;
+        }
+    }
+    uint16_t e = t->short_code[((uint32_t)p[0] << 8) | p[1]];
+    if (e & 0x8000) { out[(*o)++] = ESCAPE; out[(*o)++] = p[0]; *i += 1; }
+    else { out[(*o)++] = (uint8_t)e; *i += (e >> 12); }
+}
+
+/* Below this size single-lane encoding wins (no split overhead).  The
+ * Python reference (_fsst_native._py_encode) mirrors this constant — keep
+ * them in sync or the C==Python parity tests break. */
+#define DUAL_MIN 4096
+
+/* out must have capacity >= 2*n + 64. Returns bytes written.
+ *
+ * Inputs >= DUAL_MIN encode as two independent lanes ([0, n/2) and
+ * [n/2, n)) interleaved in one loop: the greedy parse is a serial
+ * dependency chain (next position depends on this match's length), so one
+ * lane leaves the out-of-order core idle; two chains overlap their load
+ * and mispredict latencies (the FSST paper's multi-lane scheme, two-wide).
+ * Output = encode(first half) ++ encode(second half) — byte-identical to
+ * what per-half single-lane encoding produces, so decode is unchanged
+ * (decoding a concatenation is the concatenation of decodings). */
 long fsst_encode(const uint8_t *sym_bytes, const uint8_t *sym_lens, int n_sym,
                  const uint8_t *in, long n, uint8_t *out) {
     SymTable t;
     build_table(&t, sym_bytes, sym_lens, n_sym);
-    return encode_span(&t, in, 0, n, n, out, 0);
+    if (n < DUAL_MIN)
+        return encode_span(&t, in, 0, n, n, out, 0);
+    long split = n / 2;
+    long iA = 0, oA = 0, iB = split, oB = 0;
+    uint8_t *outB = out + n;    /* lane B worst case 2*(n-split) <= n+1 */
+    long fastA = split - 8, fastB = n - 8;
+    while (iA <= fastA && iB <= fastB) {
+        enc_step(&t, in, &iA, out, &oA);
+        enc_step(&t, in, &iB, outB, &oB);
+    }
+    /* finish each lane; safe_n = n lets tails use plain 8-byte loads while
+     * the generic loop's length checks respect each lane's end */
+    oA = encode_span(&t, in, iA, split, n, out, oA);
+    oB = encode_span(&t, in, iB, n, n, outB, oB);
+    memmove(out + oA, outB, (size_t)oB);
+    return oA + oB;
 }
 
 /* out must have capacity >= 8*n + 8 (symbols copied 8-wide). */

@@ -276,3 +276,19 @@ def test_encode_pipeline_handles_list_columns(tmp_path):
     assert r.codecs["embedding"] == "ipc"
     back = decode_partition_file(tmp_path / "enc" / "part-000000.parquet")
     assert back.select(["vec_id", "embedding"]).equals(t)
+
+
+def test_fsst_dual_lane_boundary_parity():
+    """Inputs around the dual-lane threshold (and far above it) must match
+    the Python reference byte-for-byte: the C kernel's lane split is
+    mirrored by _py_encode, and any drift in the split arithmetic shows up
+    here as an output mismatch (round-trip would still pass — decode is
+    split-agnostic — so parity is the sharper assertion)."""
+    rng = np.random.default_rng(77)
+    base = b"the quick brown fox jumps over a lazy dog " * 600
+    for n in [4095, 4096, 4097, 8191, 8193, 65537]:
+        data = (base * 3 + bytes(rng.integers(0, 256, 4000, dtype=np.uint8)))[:n]
+        syms = train_symbols(data)
+        enc_c = native.encode(*syms, data)
+        assert enc_c == native._py_encode(*syms, data), n
+        assert native.decode(*syms, enc_c, len(data)) == data, n
