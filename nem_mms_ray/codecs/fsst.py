@@ -258,8 +258,15 @@ class FsstCodec(Codec):
         partition and reuse it across batches (SURVEY.md §2.4 ST-target row)."""
         typ = arr.type
         validity = dtypes.extract_validity(arr)
-        filled = dtypes.fill_nulls(arr)
-        lengths, data = _string_buffers(filled)
+        # fast path: arrow builders give null string slots zero extent
+        # (equal offsets), so the raw buffers already match what fill_nulls
+        # would produce — skip the full-column copy unless some null slot
+        # actually spans bytes (possible after exotic slicing)
+        lengths, data = _string_buffers(arr)
+        if arr.null_count:
+            nulls = dtypes.validity_to_mask(validity, len(arr))
+            if lengths[nulls].any():
+                lengths, data = _string_buffers(dtypes.fill_nulls(arr))
 
         max_len = int(lengths.max()) if len(lengths) else 0
         len_width = bit_width(max_len)

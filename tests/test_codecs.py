@@ -292,3 +292,15 @@ def test_fsst_dual_lane_boundary_parity():
         enc_c = native.encode(*syms, data)
         assert enc_c == native._py_encode(*syms, data), n
         assert native.decode(*syms, enc_c, len(data)) == data, n
+
+
+def test_fsst_null_fast_path_and_sliced():
+    """Null string slots round-trip through the no-copy path (zero-extent
+    offsets), including on sliced arrays with non-zero offset."""
+    c = get_codec("fsst")
+    arr = pa.array((["hello world the quick brown fox"] * 50
+                    + [None, "x", None]) * 40, pa.large_string())
+    for a in [arr, arr.slice(7, 1900)]:
+        dec = c.decode(c.encode(a))
+        assert dec.equals(a)
+        assert dec.null_count == a.null_count
