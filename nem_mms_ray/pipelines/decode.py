@@ -304,24 +304,34 @@ class VerifyPartitions:
                 orig = pf.schema_arrow.empty_table()
                 if self.columns:
                     orig = orig.select(list(self.columns))
-            dec = decode_partition_file(enc_path, columns=self.columns)
             if orig.num_rows == 0:
+                dec = decode_partition_file(enc_path, columns=self.columns)
                 out.append({"pid": pid, "rows": 0,
                             "ok": dec.num_rows == 0, "mismatched_columns": ""})
                 continue
-            dec = dec.select(orig.column_names)
-            mismates = []
-            for name in orig.column_names:
-                a = orig.column(name).combine_chunks()
-                b = dec.column(name).combine_chunks()
-                if not a.equals(b):
-                    mismates.append(name)
+            # stream chunk-by-chunk: each decoded chunk compares against the
+            # matching slice of the original and is then dropped — the full
+            # decoded partition never materializes, and the ring scratch
+            # keeps decode output on already-faulted pages (each chunk is
+            # fully consumed before its ring slot can cycle)
+            from nem_mms_ray.codecs import _fsst_native as _native
+
+            mismates: set = set()
+            offset = 0
+            with _native.ring_scratch(16):
+                for _ci, chunk in iter_decoded_chunks(enc_path, self.columns):
+                    sl = orig.slice(offset, chunk.num_rows)
+                    for name in sl.column_names:
+                        if not sl.column(name).combine_chunks().equals(
+                                chunk.column(name).combine_chunks()):
+                            mismates.add(name)
+                    offset += chunk.num_rows
             out.append(
                 {
                     "pid": pid,
                     "rows": orig.num_rows,
-                    "ok": not mismates and dec.num_rows == orig.num_rows,
-                    "mismatched_columns": ",".join(mismates),
+                    "ok": not mismates and offset == orig.num_rows,
+                    "mismatched_columns": ",".join(sorted(mismates)),
                 }
             )
         return pa.Table.from_pylist(out)
