@@ -441,9 +441,7 @@ def sampled_exact_quantiles(ds, col: str = "value",
         # global range even when no value hashes to 0 in a batch
         if len(u):
             cuts = np.unique(np.concatenate([cuts, u[:1], u[-1:]]))
-        return pa.table({"cut": pa.array(cuts, pa.float64()),
-                         "n": pa.array(np.full(len(cuts), len(v) / max(len(cuts), 1),
-                                               np.float64))})
+        return pa.table({"cut": pa.array(cuts, pa.float64())})
 
     def count_batch(t: pa.Table) -> pa.Table:
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})

@@ -103,8 +103,11 @@ def stratified_cap(ds, cap: int, group_col: str = "lang",
 
     def partial_cap(t: pa.Table) -> pa.Table:
         df = t.select(keep_cols).to_pandas()
+        # dropna=False: a null group value is a group like any other (the
+        # final Ray groupby also keeps null keys) — the pandas default
+        # would silently drop those rows here
         w = (df.sort_values([group_col, order_col])
-               .groupby(group_col, sort=False).head(cap))
+               .groupby(group_col, sort=False, dropna=False).head(cap))
         return pa.Table.from_pandas(w, preserve_index=False)
 
     def final_cap(g: pd.DataFrame) -> pd.DataFrame:
