@@ -378,6 +378,11 @@ def _minhash_raw_pairs(ds, num_perm: int, bands: int, ngram: int, n_buckets: int
         h = b * np.uint64(0x9E3779B97F4A7C15) + k
         return t.append_column("bucket", pa.array((h % n_buckets).astype(np.int32)))
 
+    # NOTE (measured, r3): do NOT materialize/repartition the keyed rows
+    # before this groupby to "right-size" blocks — the barrier kills the
+    # signature->shuffle streaming overlap and costs ~3x the per-block
+    # fixed overhead it saves (interleaved A/B: 1.6-4.0s without vs
+    # 4.6-5.6s with, sf0.1 @ 8 CPUs)
     return (
         sig.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
