@@ -320,6 +320,22 @@ def _events_value_quantiles_2pass(sf_dir: str):
     return sampled_exact_quantiles(_read(sf_dir, "events", ["value"]))
 
 
+def _orders_customer_join(sf_dir: str):
+    """Distributed hash-bucket equi-join with BOTH sides large (no
+    broadcast): orders x customer on custkey.  The projected columns
+    cross one all-to-all; per-bucket vectorized pandas merge."""
+    from nem_mms_ray.ops.relational import hash_equijoin
+
+    return hash_equijoin(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_name"]),
+            batch_format="pyarrow"),
+        on="o_custkey",
+        left_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+        right_cols=("o_custkey", "c_name"))
+
+
 def _sample_docs(sf_dir: str):
     """Deterministic content-hash Bernoulli sample at rate 1/4 — zero
     shuffle, reproducible, mirrored by a single substr(md5) comparison."""
@@ -687,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _lang_id_docs,
         "repetition_docs": _repetition_docs,
         "rolling_fp_docs": _rolling_fp_docs,
+        "orders_customer_join": _orders_customer_join,
         # sampling / capping / sketches
         "sample_docs": _sample_docs,
         "token_topk_docs": _token_topk_docs,
@@ -913,6 +930,10 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _curate_oracle_sql(),
         "curate_docs_text": _curate_oracle_sql(with_text=True),
         "rolling_fp_docs": _rolling_fp_oracle_sql(),
+        "orders_customer_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
         "sample_docs": """
             SELECT doc_id, text FROM documents
             WHERE substr(md5(coalesce(text, '')), 1, 4) < '4000'

@@ -840,3 +840,30 @@ def test_qdigest_merge_exactness_any_order():
     xs = np.sort(x)
     for q in (0.0, 0.33, 0.5, 1.0):
         assert digest_quantile(*a, q) == xs[int(np.floor(q * (len(xs) - 1)))]
+
+
+def test_hash_equijoin_inner_and_left(ray_session):
+    """Bucketed equi-join matches pandas merge, both modes; duplicate keys
+    on the right fan out; unmatched-left rows null-extend in 'left'."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.relational import hash_equijoin
+
+    left = pd.DataFrame({"k": np.array([1, 2, 2, 3, 9], np.int64),
+                         "lv": np.arange(5, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 3, 3, 4], np.int64),
+                          "rv": np.array([20, 30, 31, 40], np.int64)})
+    got = hash_equijoin(rd.from_pandas(left).repartition(3),
+                        rd.from_pandas(right).repartition(2),
+                        on="k", left_cols=("k", "lv"), right_cols=("k", "rv"),
+                        n_buckets=4).to_pandas()
+    exp = left.merge(right, on="k", how="inner")
+    key = lambda d: sorted(map(tuple, d[["k", "lv", "rv"]].to_numpy()))
+    assert key(got) == key(exp)
+
+    gotl = hash_equijoin(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", left_cols=("k", "lv"), right_cols=("k", "rv"),
+                         how="left", n_buckets=4).to_pandas()
+    expl = left.merge(right, on="k", how="left")
+    assert len(gotl) == len(expl)
+    assert gotl["rv"].isna().sum() == expl["rv"].isna().sum()
