@@ -520,44 +520,29 @@ def sampled_exact_quantiles(ds, col: str = "value",
 
 def hash_equijoin(left_ds, right_ds, on: str,
                   left_cols: tuple, right_cols: tuple,
-                  how: str = "inner", n_buckets: int = 64):
-    """Distributed hash-bucket equi-join of two LARGE datasets — the
-    shape for when neither side fits a broadcast (`revenue_by_segment`
-    covers the small-side case; Ray Data 2.49 has no native join).
+                  how: str = "inner", num_partitions: int = 16):
+    """Distributed hash equi-join of two LARGE datasets — the shape for
+    when neither side fits a broadcast (`revenue_by_segment` covers the
+    small-side case).
 
-    Both sides project to the needed columns, gain bucket = hash(key) %
-    n_buckets, and one union+groupby co-locates each key's rows; a
-    vectorized pandas merge runs per bucket.  Exactly one all-to-all
-    exchange, and only the PROJECTED columns cross it — pass the minimal
-    `left_cols`/`right_cols`.  Uniform-hash buckets bound the Ray group
-    count at n_buckets regardless of key cardinality; a single mega-key
-    (all rows one key) concentrates in one bucket — pre-aggregate or salt
-    upstream if a key's rows exceed a worker's heap.
+    Wraps Ray Data's native hash-shuffle `Dataset.join` (2.49+): both
+    sides project to the needed columns FIRST so only those cross the
+    exchange, then partition by key hash across `num_partitions`
+    aggregators.  Size num_partitions so one partition's rows fit a
+    worker's heap; a single mega-key still lands in one partition —
+    pre-aggregate or salt upstream if a key's rows exceed that.
 
-    Returns Dataset[left_cols + right_cols] (the join key once).
-    `how`: 'inner' or 'left' (unmatched left rows null-extended).
+    Returns Dataset[left_cols + right-only cols] (the join key once).
+    `how`: 'inner' or 'left' (unmatched left rows null-extended; beware
+    pandas-side float upcast of null-extended int columns).
     """
     if on not in left_cols or on not in right_cols:
         raise ValueError("`on` must appear in both projections")
     out_cols = list(left_cols) + [c for c in right_cols if c != on]
-
-    def tag(side: int, cols: tuple):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.select(list(cols))
-            k = np.asarray(t.column(on), np.int64)
-            h = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % n_buckets
-            return (t.append_column("side__", pa.array(np.full(len(k), side, np.int8)))
-                     .append_column("bucket__", pa.array(h.astype(np.int32))))
-        return fn
-
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lt = g[g["side__"] == 0]
-        rt = g[g["side__"] == 1]
-        m = lt[list(left_cols)].merge(
-            rt[[c for c in right_cols]], on=on,
-            how="inner" if how == "inner" else "left")
-        return m[out_cols]
-
-    both = (left_ds.map_batches(tag(0, left_cols), batch_format="pyarrow")
-            .union(right_ds.map_batches(tag(1, right_cols), batch_format="pyarrow")))
-    return both.groupby("bucket__").map_groups(merge_bucket, batch_format="pandas")
+    joined = left_ds.select_columns(list(left_cols)).join(
+        right_ds.select_columns(list(right_cols)),
+        join_type="inner" if how == "inner" else "left_outer",
+        num_partitions=num_partitions,
+        on=(on,),
+    )
+    return joined.select_columns(out_cols)

@@ -856,14 +856,14 @@ def test_hash_equijoin_inner_and_left(ray_session):
     got = hash_equijoin(rd.from_pandas(left).repartition(3),
                         rd.from_pandas(right).repartition(2),
                         on="k", left_cols=("k", "lv"), right_cols=("k", "rv"),
-                        n_buckets=4).to_pandas()
+                        num_partitions=4).to_pandas()
     exp = left.merge(right, on="k", how="inner")
     key = lambda d: sorted(map(tuple, d[["k", "lv", "rv"]].to_numpy()))
     assert key(got) == key(exp)
 
     gotl = hash_equijoin(rd.from_pandas(left), rd.from_pandas(right),
                          on="k", left_cols=("k", "lv"), right_cols=("k", "rv"),
-                         how="left", n_buckets=4).to_pandas()
+                         how="left", num_partitions=4).to_pandas()
     expl = left.merge(right, on="k", how="left")
     assert len(gotl) == len(expl)
     assert gotl["rv"].isna().sum() == expl["rv"].isna().sum()
