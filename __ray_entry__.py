@@ -320,6 +320,20 @@ def _events_value_quantiles_2pass(sf_dir: str):
     return sampled_exact_quantiles(_read(sf_dir, "events", ["value"]))
 
 
+def _postings_lookup_docs(sf_dir: str):
+    """Persisted inverted index exercised end-to-end: build the sharded
+    postings under /tmp, then a partition-pruned lookup for two fixed
+    tokens.  SQL mirror: distinct (token, doc_id) pairs for the same
+    tokens over the same tokenizer."""
+    import tempfile
+
+    from nem_mms_ray.ops.invindex import build_token_index, lookup_postings
+
+    idx = tempfile.mkdtemp(prefix="nem_postings_")
+    build_token_index(_read(sf_dir, "documents", ["doc_id", "text"]), idx)
+    return lookup_postings(idx, ["the", "data"])
+
+
 def _orders_customer_join(sf_dir: str):
     """Distributed hash-bucket equi-join with BOTH sides large (no
     broadcast): orders x customer on custkey.  The projected columns
@@ -704,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _repetition_docs,
         "rolling_fp_docs": _rolling_fp_docs,
         "orders_customer_join": _orders_customer_join,
+        "postings_lookup_docs": _postings_lookup_docs,
         # sampling / capping / sketches
         "sample_docs": _sample_docs,
         "token_topk_docs": _token_topk_docs,
@@ -933,6 +948,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_join": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "postings_lookup_docs": """
+            SELECT DISTINCT t.token, d.doc_id
+            FROM documents d,
+                 unnest(list_filter(
+                     regexp_split_to_array(lower(coalesce(d.text, '')), '\\s+'),
+                     x -> x <> '')) AS t(token)
+            WHERE t.token IN ('the', 'data')
         """,
         "sample_docs": """
             SELECT doc_id, text FROM documents

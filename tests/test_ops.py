@@ -867,3 +867,30 @@ def test_hash_equijoin_inner_and_left(ray_session):
     expl = left.merge(right, on="k", how="left")
     assert len(gotl) == len(expl)
     assert gotl["rv"].isna().sum() == expl["rv"].isna().sum()
+
+
+def test_inverted_index_build_and_pruned_lookup(ray_session, tmp_path):
+    """Postings round-trip; lookup reads only the queried tokens' shards."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.invindex import (_token_shard, build_token_index,
+                                          lookup_postings)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the cat sat", "the dog ran", "cat and dog", "", None,
+                 "THE the The"],  # case folding + per-doc distinct
+    })
+    idx = tmp_path / "inv"
+    build_token_index(rd.from_pandas(df), idx, n_shards=8)
+    out = lookup_postings(idx, ["the", "cat"], n_shards=8).to_pandas()
+    got = {(t, int(d)) for t, d in zip(out["token"], out["doc_id"])}
+    assert got == {("the", 0), ("the", 1), ("the", 5), ("cat", 0), ("cat", 2)}
+    # pruning: only the shards 'the'/'cat' hash to exist on the read path
+    shards = {int(s) for s in _token_shard(["the", "cat"], 8)}
+    from pathlib import Path
+    touched = {int(p.name.split("=")[1])
+               for p in Path(idx, "postings").iterdir() if "=" in p.name}
+    assert shards <= touched  # those shards were written
+    empty = lookup_postings(idx, ["zzz-not-present"], n_shards=8).to_pandas()
+    assert len(empty) == 0
