@@ -334,6 +334,17 @@ def _postings_lookup_docs(sf_dir: str):
     return lookup_postings(idx, ["the", "data"])
 
 
+def _tfidf_topk_docs(sf_dir: str):
+    """TF-IDF retrieval top-k for a 2-token query: df pass -> broadcast
+    rounded idf weights -> per-batch scoring + local top-k -> tiny driver
+    merge.  Weights round to 6 places before scoring so the SQL mirror
+    reproduces them exactly; scores round to 4 (guards float sum-order)."""
+    from nem_mms_ray.ops.invindex import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      ["hash", "join"], k=10)
+
+
 def _orders_customer_join(sf_dir: str):
     """Distributed hash-bucket equi-join with BOTH sides large (no
     broadcast): orders x customer on custkey.  The projected columns
@@ -719,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fp_docs": _rolling_fp_docs,
         "orders_customer_join": _orders_customer_join,
         "postings_lookup_docs": _postings_lookup_docs,
+        "tfidf_topk_docs": _tfidf_topk_docs,
         # sampling / capping / sketches
         "sample_docs": _sample_docs,
         "token_topk_docs": _token_topk_docs,
@@ -948,6 +960,31 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_join": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "tfidf_topk_docs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            ),
+            nn AS (SELECT count(*) AS n FROM documents),
+            df AS (
+                SELECT token, count(DISTINCT doc_id) AS df
+                FROM toks WHERE token IN ('hash', 'join') GROUP BY token
+            ),
+            w AS (SELECT token, round(ln(1 + nn.n * 1.0 / df.df), 6) AS wt
+                  FROM df, nn),
+            tf AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM toks WHERE token IN ('hash', 'join')
+                GROUP BY doc_id, token
+            ),
+            sc AS (
+                SELECT tf.doc_id, round(sum(tf.c * w.wt), 4) AS score
+                FROM tf JOIN w USING (token) GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
         """,
         "postings_lookup_docs": """
             SELECT DISTINCT t.token, d.doc_id

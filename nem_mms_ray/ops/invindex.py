@@ -88,3 +88,71 @@ def lookup_postings(index_dir, tokens: list[str], n_shards: int = 32,
                          id_col: sub.column(id_col)})
 
     return rd.read_parquet(paths).map_batches(pick, batch_format="pyarrow")
+
+
+def tfidf_topk(ds, query_tokens: list[str], k: int = 10,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k docs for a token query by TF-IDF: score(d) = sum over query
+    tokens t of tf(t, d) * ln(1 + N / df(t)), ties broken by doc id.
+
+    Scale shape (two streaming passes, no shuffle of text):
+      1. df pass: per batch, per query token, the number of docs
+         containing it (+ batch doc counts); a tiny Sum groupby yields
+         exact global df and N.  Weights ln(1 + N/df) round to 6 places
+         BEFORE scoring so the oracle can reproduce them bit-for-bit.
+      2. score pass: weights broadcast via ray.put; each batch scores its
+         docs vectorized and emits only its local top-k — the driver
+         merges <= n_batches * k candidate rows (the ann_topk pattern).
+
+    Returns pa.Table[(doc_id, score)] sorted by (score desc, doc_id).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    want = sorted(set(query_tokens))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        rows = {w: 0 for w in want}
+        for x in texts:
+            toks = set((x or "").lower().split())
+            for w in want:
+                if w in toks:
+                    rows[w] += 1
+        return pa.table({"token": pa.array(want + ["__N__"], pa.string()),
+                         "c": pa.array([rows[w] for w in want] + [len(texts)],
+                                       pa.int64())})
+
+    agg = (ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("c", alias_name="c")).to_pandas())
+    cmap = dict(zip(agg["token"], agg["c"].astype(int)))
+    n_docs = cmap.pop("__N__", 0)
+    weights = {w: round(float(np.log1p(n_docs / cmap[w])), 6)
+               for w in want if cmap.get(w)}
+    wref = ray.put(weights)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        ids = np.asarray(t.column(id_col), np.int64)
+        scores = np.zeros(len(ids), np.float64)
+        for i, x in enumerate(t.column(text_col).to_pylist()):
+            toks = (x or "").lower().split()
+            if not toks:
+                continue
+            s = 0.0
+            for tok in toks:
+                wt = w.get(tok)
+                if wt is not None:
+                    s += wt
+            scores[i] = s
+        keep = scores > 0
+        ids, scores = ids[keep], np.round(scores[keep], 4)
+        if len(ids) > k:
+            order = np.lexsort((ids, -scores))[:k]
+            ids, scores = ids[order], scores[order]
+        return pa.table({id_col: pa.array(ids), "score": pa.array(scores)})
+
+    cand = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["score", id_col],
+                           ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)

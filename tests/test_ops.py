@@ -894,3 +894,26 @@ def test_inverted_index_build_and_pruned_lookup(ray_session, tmp_path):
     assert shards <= touched  # those shards were written
     empty = lookup_postings(idx, ["zzz-not-present"], n_shards=8).to_pandas()
     assert len(empty) == 0
+
+
+def test_tfidf_topk_matches_reference(ray_session):
+    """TF-IDF top-k equals a straightforward local computation, including
+    tf multiplicity and the (score desc, id asc) tie order."""
+    import math
+
+    import ray.data as rd
+
+    from nem_mms_ray.ops.invindex import tfidf_topk
+
+    docs = ["cat cat dog", "dog", "cat fish", "bird", "", "CAT"]
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64), "text": docs})
+    out = tfidf_topk(rd.from_pandas(df).repartition(3), ["cat", "dog"], k=3)
+    n = 6
+    w_cat = round(math.log1p(n / 3), 6)   # docs 0, 2, 5
+    w_dog = round(math.log1p(n / 2), 6)   # docs 0, 1
+    exp = {0: round(2 * w_cat + w_dog, 4), 1: round(w_dog, 4),
+           2: round(w_cat, 4), 5: round(w_cat, 4)}
+    top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = list(zip(out.column("doc_id").to_pylist(),
+                   out.column("score").to_pylist()))
+    assert [(d, round(s, 4)) for d, s in got] == top
