@@ -129,15 +129,23 @@ def cmd_scan(args) -> int:
 
 def cmd_curate(args) -> int:
     """Quality/lang gate + exact dedup over a documents table; writes the
-    surviving (doc_id, lang_pred, quality) labels as parquet."""
+    surviving (doc_id, lang_pred, quality) labels as parquet — or, with
+    --with-text, the curated DATA (text semi-joined back to the winners)."""
     ray, owned = _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from nem_mms_ray.ops.curate import curate_documents
+    from nem_mms_ray.ops.curate import curate_documents, curate_documents_with_text
 
-    ds = rd.read_parquet(args.inputs, columns=[args.id_col, args.text_col])
-    out = curate_documents(ds, quality_min=args.quality_min, lang=args.lang,
-                           id_col=args.id_col, text_col=args.text_col)
+    if args.with_text:
+        out = curate_documents_with_text(
+            lambda: rd.read_parquet(args.inputs,
+                                    columns=[args.id_col, args.text_col]),
+            quality_min=args.quality_min, lang=args.lang,
+            id_col=args.id_col, text_col=args.text_col)
+    else:
+        ds = rd.read_parquet(args.inputs, columns=[args.id_col, args.text_col])
+        out = curate_documents(ds, quality_min=args.quality_min, lang=args.lang,
+                               id_col=args.id_col, text_col=args.text_col)
     out.write_parquet(args.out)
     n_in = rd.read_parquet(args.inputs).count()
     n_out = rd.read_parquet(args.out).count()
@@ -233,6 +241,9 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--lang", default=None)
     pc.add_argument("--id-col", default="doc_id")
     pc.add_argument("--text-col", default="text")
+    pc.add_argument("--with-text", action="store_true",
+                    help="semi-join winners back to full rows (curated data,"
+                         " not just labels); reads the corpus twice")
     pc.add_argument("--num-cpus", type=int, default=None)
     pc.set_defaults(fn=cmd_curate)
 

@@ -82,3 +82,19 @@ def test_cli_scan(ray_session, tmp_path, capsys):
                  "--columns", "k", "--range", "k", "100", "200"]) == 0
     res = json.loads(capsys.readouterr().out.strip())
     assert res["rows"] == 101
+
+
+def test_cli_curate_with_text(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from nem_mms_ray.__main__ import main
+
+    main(["curate", "/root/testdata/sf0.001/documents.parquet",
+          "-o", str(tmp_path / "cur"), "--lang", "en", "--with-text"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < res["curated_rows"] <= 500
+    t = pq.read_table(str(tmp_path / "cur"))
+    assert set(t.column_names) >= {"doc_id", "text", "lang_pred", "quality"}
+    assert t.num_rows == res["curated_rows"]
