@@ -7,8 +7,9 @@ same index-once / query-many shape a 100 TB corpus needs:
   whitespace tokens (the `token_topk` tokenizer), shards rows by token
   hash, and writes hive-partitioned Parquet
   (`index_dir/postings/shard=K/*.parquet`).  The corpus text never
-  shuffles — only (token, doc_id) rows do, and the write is partitioned
-  so a resumable run can skip finished shards.
+  shuffles — only (token, doc_id) rows do.  (Build is a single
+  write_parquet job; for checkpointed resume, drive it per input shard
+  with the `state.manifest` pattern the encode pipeline uses.)
 - LOOKUP: a query for T tokens reads ONLY the <= T shards those tokens
   hash to (partition pruning at the read), filters to the exact tokens,
   and returns sorted postings.  Per-query I/O is max(T, 1)/n_shards of
