@@ -118,36 +118,41 @@ def encode(sym_bytes: np.ndarray, sym_lens: np.ndarray, data: bytes) -> bytes:
 # per worker, not once per chunk.  CONTRACT: a returned array is valid
 # only until the same slot cycles around (`slots` subsequent decodes) —
 # holders that outlive that must stay on the default owned-allocation path.
-_RING: list | None = None
-_RING_IDX = 0
+_RING_ON = False
+_RING_BUFS: list = []   # persists across ring_scratch blocks: pages fault
+_RING_IDX = 0           # once per worker process, not once per block
 
 
 class ring_scratch:
-    """Context manager enabling ring-buffer decode output (see above)."""
+    """Context manager enabling ring-buffer decode output (see above).
+    The slot buffers persist across blocks (grow-only per worker), so a
+    task-pool stage that enters the ring once per partition still reuses
+    already-faulted pages across partitions."""
 
     def __init__(self, slots: int = 16):
         self.slots = slots
 
     def __enter__(self):
-        global _RING, _RING_IDX
-        self._prev = _RING
-        _RING = [None] * self.slots
-        _RING_IDX = 0
+        global _RING_ON, _RING_BUFS
+        self._prev = _RING_ON
+        _RING_ON = True
+        if len(_RING_BUFS) < self.slots:
+            _RING_BUFS.extend([None] * (self.slots - len(_RING_BUFS)))
         return self
 
     def __exit__(self, *exc):
-        global _RING
-        _RING = self._prev
+        global _RING_ON
+        _RING_ON = self._prev
         return False
 
 
 def _ring_buf(n: int) -> np.ndarray:
     global _RING_IDX
-    i = _RING_IDX % len(_RING)
+    i = _RING_IDX % len(_RING_BUFS)
     _RING_IDX += 1
-    buf = _RING[i]
+    buf = _RING_BUFS[i]
     if buf is None or len(buf) < n:
-        buf = _RING[i] = np.empty(max(n, 1 << 20), np.uint8)
+        buf = _RING_BUFS[i] = np.empty(max(n, 1 << 20), np.uint8)
     return buf
 
 
@@ -162,7 +167,7 @@ def decode_np(sym_bytes: np.ndarray, sym_lens: np.ndarray, enc,
     inp = np.frombuffer(enc, np.uint8)
     lib = get_lib()
     if lib is not None:
-        if _RING is not None:
+        if _RING_ON:
             out = _ring_buf(out_size + 8)
         else:
             out = np.empty(out_size + 8, np.uint8)  # +8: memcpy slack
