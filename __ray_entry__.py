@@ -581,8 +581,10 @@ def _encode_lineitem(sf_dir: str):
 
 
 def _media_features_docs(sf_dir: str):
-    """Multimodal plumbing demo: text bytes as opaque payload -> stub
-    feature extraction (actor pool, list<float> output)."""
+    """Multimodal plumbing: text bytes as opaque payload -> stub feature
+    extraction (actor pool, list<float> output).  Oracle-checked: the
+    16-bin byte-histogram feature and its norm are mirrored in SQL with
+    the same float32 quantization (r3 — was rows-only)."""
     from nem_mms_ray.ops.multimodal import extract_features
 
     def to_binary(t: pa.Table) -> pa.Table:
@@ -960,6 +962,32 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_join": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "media_features_docs": """
+            -- mirror of the 16-bin byte-histogram stub feature + norm:
+            -- bin = byte // 16 (ASCII text: unicode(char) == byte), the
+            -- per-bin fraction quantizes through FLOAT exactly like the
+            -- Ray stage's float32 features before the double-prec norm
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            by AS (
+                SELECT doc_id, len(t) AS n,
+                       unnest(list_transform(range(1, len(t) + 1),
+                              i -> unicode(substr(t, i::INT, 1)) // 16)) AS bin
+                FROM d WHERE len(t) > 0
+            ),
+            c AS (
+                SELECT doc_id, n, bin, count(*) AS cnt
+                FROM by GROUP BY doc_id, n, bin
+            ),
+            nrm AS (
+                SELECT doc_id,
+                       round(sqrt(sum(pow(((cnt * 1.0 / n)::FLOAT)::DOUBLE, 2))), 6)
+                           AS feat_norm
+                FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id, 16::INTEGER AS dim,
+                   coalesce(nrm.feat_norm, 0.0) AS feat_norm
+            FROM d LEFT JOIN nrm ON d.doc_id = nrm.doc_id
         """,
         "tfidf_topk_docs": """
             WITH toks AS (
