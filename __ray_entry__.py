@@ -334,6 +334,27 @@ def _postings_lookup_docs(sf_dir: str):
     return lookup_postings(idx, ["the", "data"])
 
 
+def _cluster_assign_embeddings(sf_dir: str):
+    """Cluster assignment (the IVF routing step) as a first-class op:
+    centroids = the first 8 vectors (deterministic, no iteration so the
+    SQL mirror is exact), broadcast once; per-batch matmul + argmax with
+    lowest-centroid-id ties."""
+    from nem_mms_ray.ops.ann import assign_clusters
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = []
+    for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        ids = batch.column("vec_id").to_pylist()
+        embs = batch.column("embedding").to_pylist()
+        for i, e in zip(ids, embs):
+            if i < 8:
+                cents.append((i, e))
+        if len(cents) >= 8:
+            break
+    cents = [e for _, e in sorted(cents)[:8]]
+    return assign_clusters(ds, np.asarray(cents, np.float64))
+
+
 def _tfidf_topk_docs(sf_dir: str):
     """TF-IDF retrieval top-k for a 2-token query: df pass -> broadcast
     rounded idf weights -> per-batch scoring + local top-k -> tiny driver
@@ -733,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _orders_customer_join,
         "postings_lookup_docs": _postings_lookup_docs,
         "tfidf_topk_docs": _tfidf_topk_docs,
+        "cluster_assign_embeddings": _cluster_assign_embeddings,
         # sampling / capping / sketches
         "sample_docs": _sample_docs,
         "token_topk_docs": _token_topk_docs,
@@ -962,6 +984,24 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_join": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "cluster_assign_embeddings": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]) AS sim
+                FROM embeddings e, c
+            ),
+            r AS (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rn
+                FROM s
+            )
+            SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
         """,
         "media_features_docs": """
             -- mirror of the 16-bin byte-histogram stub feature + norm:

@@ -370,3 +370,26 @@ def ivf_topk_cosine(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     res = pd.concat(out, ignore_index=True) if out else cands.assign(rank=[])
     res["cosine"] = res["cosine"].round(6)
     return res[["query_idx", id_col, "cosine", "rank"]]
+
+
+def assign_clusters(ds, centroids: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Dataset[(id, cluster)]: each vector's nearest centroid by cosine
+    (ties -> lowest centroid id).  The routing step IVF's build uses,
+    exposed as a first-class op: centroids broadcast ONCE via ray.put,
+    one vectorized matmul + argmax per batch, nothing shuffles."""
+    import ray
+
+    c = _normalize(np.atleast_2d(np.asarray(centroids, np.float64)))
+    cref = ray.put(c)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        sims = m @ cc.T
+        # argmax returns the FIRST maximum -> lowest centroid id on ties
+        li = sims.argmax(axis=1).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+                         "cluster": pa.array(li)})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

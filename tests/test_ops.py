@@ -917,3 +917,21 @@ def test_tfidf_topk_matches_reference(ray_session):
     got = list(zip(out.column("doc_id").to_pylist(),
                    out.column("score").to_pylist()))
     assert [(d, round(s, 4)) for d, s in got] == top
+
+
+def test_assign_clusters_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.ann import assign_clusters
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((200, 8))
+    cents = m[:5]
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": list(m)})
+    out = assign_clusters(rd.from_pandas(df).repartition(4), cents).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    exp = (mn @ cn.T).argmax(axis=1)
+    got = out.sort_values("vec_id")["cluster"].to_numpy()
+    assert np.array_equal(got, exp)
