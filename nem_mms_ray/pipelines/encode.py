@@ -200,8 +200,35 @@ def _attach_zone_map(ec, arr: pa.Array) -> None:
             if mm["min"].is_valid:
                 ec.params["zmin"] = int(mm["min"].value)
                 ec.params["zmax"] = int(mm["max"].value)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            # string zones (url-range scans over url-sorted corpora): long
+            # values store a BOUND, not the value — prefix(min) is a valid
+            # lower bound, and the prefix-successor of max (last code point
+            # incremented) upper-bounds every value sharing that prefix.
+            # UTF-8 byte order == code-point order, so Python/Arrow/JSON
+            # comparisons all agree.
+            mm = pc.min_max(arr)
+            if mm["min"].is_valid:
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                zmax_v = hi if len(hi) <= 64 else _string_successor(hi[:64])
+                if zmax_v or hi == "":  # successor '' = no valid upper bound
+                    ec.params["zmin"] = lo[:64]
+                    ec.params["zmax"] = zmax_v
     except Exception:
         pass  # zone maps are an optimization; never fail an encode for one
+
+
+def _string_successor(p: str) -> str:
+    """Smallest string greater than every string with prefix `p` (last
+    code point incremented, carrying; '' if p is all U+10FFFF)."""
+    cs = list(p)
+    while cs:
+        o = ord(cs[-1])
+        if o < 0x10FFFF:
+            cs[-1] = chr(o + 1)
+            return "".join(cs)
+        cs.pop()
+    return ""
 
 
 class EncodePartitions:

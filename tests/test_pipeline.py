@@ -259,3 +259,45 @@ def test_one_chunk_per_encoded_row_group(ray_session, web_dir, tmp_path):
         cis = set(pf.read_row_group(rg, columns=["chunk_idx"])
                   .column("chunk_idx").to_pylist())
         assert len(cis) == 1
+
+
+def test_string_zone_map_scan(ray_session, tmp_path):
+    """url-range scan over a url-sorted encode: exact rows back, and the
+    string zones really prune (chunks fully outside the range skip)."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nem_mms_ray.pipelines.decode import scan_encoded
+    from nem_mms_ray.pipelines.encode import encode_files, _string_successor
+
+    assert _string_successor("ab") == "ac"
+    assert _string_successor("a" + chr(0x10FFFF)) == "b"
+    assert _string_successor(chr(0x10FFFF)) == ""
+
+    n = 4000
+    urls = [f"https://site-{i:06d}.example/page" for i in range(n)]
+    long_text = ["x" * 200 for _ in range(n)]
+    src = tmp_path / "src.parquet"
+    pq.write_table(pa.table({"url": pa.array(urls, pa.large_string()),
+                             "text": pa.array(long_text, pa.large_string()),
+                             "rid": pa.array(np.arange(n, dtype=np.int64))}),
+                   str(src))
+    out = tmp_path / "enc"
+    encode_files([str(src)], str(out), target_bytes=64 << 10).to_pandas()
+
+    lo, hi = "https://site-000100", "https://site-000199~"
+    got = scan_encoded(str(out), columns=["url", "rid"],
+                       range_filters={"url": (lo, hi)}).to_pandas()
+    exp = [u for u in urls if lo <= u <= hi]
+    assert sorted(got["url"]) == exp
+    assert len(got) == 100
+
+    # zones exist on the url column of every encoded chunk
+    f = sorted(out.glob("part-*.parquet"))[0]
+    t = pq.read_table(f, columns=["column", "params"])
+    zs = [json.loads(p) for c, p in zip(t.column("column").to_pylist(),
+                                        t.column("params").to_pylist())
+          if c == "url"]
+    assert zs and all("zmin" in z and "zmax" in z for z in zs)
