@@ -551,6 +551,23 @@ def _scan_events_range(sf_dir: str):
                         range_filters={"value": (0.25, 0.75)})
 
 
+def _scan_docs_source_range(sf_dir: str):
+    """STRING zone-map scan over ENCODED documents: encode once, then
+    range-scan the `source` string column on the encoded files (the url
+    -range pattern for Common-Crawl-style layouts; prefix-bounded string
+    zones prune like numeric ones).  Oracle = the same range over the
+    plain table."""
+    from nem_mms_ray.pipelines.decode import scan_encoded
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    enc = Path("/tmp/nem_mms_ray_q/scan_enc_docs")
+    shutil.rmtree(enc, ignore_errors=True)
+    encode_files([f"{sf_dir}/documents.parquet"], enc,
+                 target_bytes=8 << 20).materialize()
+    return scan_encoded(enc, columns=["doc_id", "source"],
+                        range_filters={"source": ("src0", "src4")})
+
+
 def _decode_checksum_docs(sf_dir: str):
     """Flagship bit-identity as an oracle-checked row (VERDICT r1 item 4):
     encode documents with the codec engine, decode back to plain parquet,
@@ -778,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_documents": _encode_documents,
         "decode_checksum_docs": _decode_checksum_docs,
         "scan_events_range": _scan_events_range,
+        "scan_docs_source_range": _scan_docs_source_range,
         "encode_lineitem": _encode_lineitem,
         "media_features_docs": _media_features_docs,
     }
@@ -1362,6 +1380,10 @@ def oracle_sql() -> dict[str, str]:
         "scan_events_range": """
             SELECT event_id, user_id, value FROM events
             WHERE value >= 0.25 AND value <= 0.75
+        """,
+        "scan_docs_source_range": """
+            SELECT doc_id, source FROM documents
+            WHERE source >= 'src0' AND source <= 'src4'
         """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,
