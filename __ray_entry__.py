@@ -297,6 +297,30 @@ def _curate_docs(sf_dir: str):
                             quality_min=0.5, lang="en")
 
 
+def _dedup_components_docs(sf_dir: str):
+    """The dedup endgame oracle-checked: minhash pairs at threshold 1.0
+    (guaranteed recall — equal gram sets) over the planted-dup slice ->
+    distributed min-label propagation -> (id, component).  Jaccard == 1
+    iff gram sets are EQUAL, an equivalence relation, so components are
+    exactly the equal-gram-set groups and the SQL mirror is the md5 of
+    each doc's sorted distinct grams."""
+    import pyarrow.compute as pc
+
+    from nem_mms_ray.ops.dedup import connected_components, minhash_dedup
+
+    def plant(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t.column("doc_id"), 10))
+        return pa.table({"doc_id": pc.add(sub.column("doc_id"), 1_000_000),
+                         "text": sub.column("text")})
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 200)),
+        batch_format="pyarrow")
+    aug = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    pairs = minhash_dedup(aug, threshold=1.0)
+    return connected_components(pairs)
+
+
 def _curate_docs_text(sf_dir: str):
     """The curation composition's last mile: winner labels semi-joined back
     against the source corpus so the pipeline ends in curated DATA (text +
@@ -784,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "minhash_pairs": _minhash_pairs,
         "minhash_exact_dups": _minhash_exact_dups,
+        "dedup_components_docs": _dedup_components_docs,
         "simhash_docs": _simhash_docs,
         "simhash_near_dups": _simhash_near_dups,
         "embedding_near_pairs": _embedding_near_pairs,
@@ -1348,6 +1373,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = inter.a
             JOIN sz sb ON sb.doc_id = inter.b
             WHERE i = sa.n + sb.n - i
+        """,
+        "dedup_components_docs": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id < 10
+            ), w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM aug
+            ), t AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) = 0 THEN []
+                            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+                       END AS grams
+                FROM w
+            ), g AS (
+                SELECT DISTINCT doc_id, unnest(grams) AS gram FROM t
+            ), key AS (
+                SELECT doc_id, md5(string_agg(gram, '|' ORDER BY gram)) AS k
+                FROM g GROUP BY doc_id
+            ), grp AS (
+                SELECT k, min(doc_id) AS comp, count(*) AS n
+                FROM key GROUP BY k
+            )
+            SELECT key.doc_id AS id, grp.comp AS component
+            FROM key JOIN grp USING (k) WHERE grp.n >= 2
         """,
         "simhash_near_dups": """
             WITH aug AS (

@@ -850,3 +850,100 @@ def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
                          "cosine": pa.array(np.round(c[m], 6))})
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# pair clusters (the dedup endgame: pairs -> components -> representative)
+# ---------------------------------------------------------------------------
+
+
+def _join_partitions(requested: int | None = None) -> int:
+    """Partition count for Dataset.join: its hash aggregators are actors
+    that each need a CPU slot, so requesting more partitions than the
+    cluster has CPUs deadlocks small sessions (observed at 4-CPU pytest)."""
+    if requested:
+        return requested
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
+
+
+def connected_components(pairs, max_iters: int = 25,
+                         num_partitions: int | None = None):
+    """Dataset[(id, component)] for every node appearing in the pair list:
+    component = the MINIMUM id reachable through the pair graph — the
+    canonical representative a dedup run keeps.
+
+    Distributed min-label propagation: labels start as own id; each round
+    ships the current labels across the (symmetrized) edges with Ray
+    Data's native hash join and takes the per-node minimum; a fixpoint is
+    reached within the cluster diameter (near-dup clusters are tiny — a
+    handful of rounds).  Per round: one join + one groupby, both bounded
+    by the EDGE list (~16 B/edge), never the corpus.  If `max_iters`
+    rounds pass without convergence the loop stops and LOGS the residual
+    (no-silent-caps rule); labels are then upper bounds, still a valid
+    (finer) partition of the graph.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), np.int64)
+        b = np.asarray(t.column("b"), np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(
+        symmetrize, batch_format="pyarrow").materialize()
+    labels = (edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+              .map_batches(lambda t: pa.table({
+                  "id": t.column("src"),
+                  "label": pa.compute.min_element_wise(t.column("src"),
+                                                       t.column("nbr_min")),
+              }), batch_format="pyarrow").materialize())
+
+    for it in range(max_iters):
+        # propagate: each node offers its label to every neighbor
+        offered = (edges.join(labels.map_batches(
+                        lambda t: t.rename_columns(["src", "label"]),
+                        batch_format="pyarrow"),
+                        join_type="inner", num_partitions=num_partitions,
+                        on=("src",))
+                   .groupby("dst").aggregate(Min("label", alias_name="offer")))
+        merged = labels.join(
+            offered.map_batches(lambda t: t.rename_columns(["id", "offer"]),
+                                batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=num_partitions, on=("id",))
+
+        def take_min(t: pa.Table) -> pa.Table:
+            lab = np.asarray(t.column("label"), np.float64)
+            off = np.asarray(t.column("offer").to_pandas().fillna(np.inf),
+                             np.float64)
+            new = np.minimum(lab, off).astype(np.int64)
+            changed = int((new != lab.astype(np.int64)).sum())
+            return pa.table({"id": t.column("id").cast(pa.int64()),
+                             "label": pa.array(new),
+                             "chg": pa.array(np.full(len(new), 0, np.int64))
+                             if changed == 0 else
+                             pa.array((new != lab.astype(np.int64)).astype(np.int64))})
+
+        nxt = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        n_changed = int(nxt.sum("chg") or 0)
+        labels = nxt.select_columns(["id", "label"]).materialize()
+        if n_changed == 0:
+            break
+    else:
+        logger.warning(
+            "connected_components: no fixpoint after %d rounds — labels are "
+            "an upper-bound (finer) partition; raise max_iters for graphs "
+            "with longer chains", max_iters)
+    return labels.map_batches(
+        lambda t: pa.table({"id": t.column("id"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")

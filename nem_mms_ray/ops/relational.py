@@ -520,7 +520,7 @@ def sampled_exact_quantiles(ds, col: str = "value",
 
 def hash_equijoin(left_ds, right_ds, on: str,
                   left_cols: tuple, right_cols: tuple,
-                  how: str = "inner", num_partitions: int = 16):
+                  how: str = "inner", num_partitions: int | None = None):
     """Distributed hash equi-join of two LARGE datasets — the shape for
     when neither side fits a broadcast (`revenue_by_segment` covers the
     small-side case).
@@ -536,8 +536,11 @@ def hash_equijoin(left_ds, right_ds, on: str,
     `how`: 'inner' or 'left' (unmatched left rows null-extended; beware
     pandas-side float upcast of null-extended int columns).
     """
+    from nem_mms_ray.ops.dedup import _join_partitions
+
     if on not in left_cols or on not in right_cols:
         raise ValueError("`on` must appear in both projections")
+    num_partitions = _join_partitions(num_partitions)
     out_cols = list(left_cols) + [c for c in right_cols if c != on]
     joined = left_ds.select_columns(list(left_cols)).join(
         right_ds.select_columns(list(right_cols)),

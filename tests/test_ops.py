@@ -935,3 +935,21 @@ def test_assign_clusters_matches_numpy(ray_session):
     exp = (mn @ cn.T).argmax(axis=1)
     got = out.sort_values("vec_id")["cluster"].to_numpy()
     assert np.array_equal(got, exp)
+
+
+def test_connected_components_chain_and_clusters(ray_session):
+    """Min-label propagation over a chain (diameter > 1) and disjoint
+    clusters: every node labels with its component's min id."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+    pairs = pd.DataFrame({
+        "a": np.array([1, 2, 3, 4, 10, 10, 11, 20], np.int64),
+        "b": np.array([2, 3, 4, 5, 11, 12, 12, 21], np.int64),
+    })
+    out = connected_components(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out["id"].astype(int), out["component"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
