@@ -81,3 +81,55 @@ def test_for_gcd_roundtrip_property(base, div, steps):
     if len(set(vals)) > 2:
         ec = get_codec("for").encode(arr)
         assert ec.params["div"] % div == 0 or ec.params["width"] == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                            allow_nan=False, allow_infinity=False),
+                  min_size=1, max_size=3000),
+    capacity=st.sampled_from([8, 64, 512]),
+    n_chunks=st.integers(min_value=1, max_value=7),
+    q=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+)
+def test_qdigest_rank_error_property(vals, capacity, n_chunks, q):
+    """Digest quantiles stay within the rank-error bound for any data,
+    capacity and partial split; exact when distinct <= capacity."""
+    from nem_mms_ray.ops.qdigest import (digest_batch, digest_quantile,
+                                         merge_digests)
+
+    x = np.asarray(vals, np.float64)
+    parts = [digest_batch(c, capacity)
+             for c in np.array_split(x, min(n_chunks, len(x))) if len(c)]
+    v, w = merge_digests(parts, capacity)
+    assert int(w.sum()) == len(x)
+    got = digest_quantile(v, w, q)
+    xs = np.sort(x)
+    if len(np.unique(x)) <= capacity:
+        assert got == xs[int(np.floor(q * (len(xs) - 1)))]
+    else:
+        # rank-walk result must sit within a few max-bin-widths of target
+        lo = np.searchsorted(xs, got, side="left")
+        hi = np.searchsorted(xs, got, side="right")
+        target = q * (len(xs) - 1)
+        slack = 4 * max(1, len(x) // capacity) + int(w.max())
+        assert lo - slack <= target <= hi + slack
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(st.text(max_size=40), max_size=200),
+       rate=st.sampled_from([0.0, 0.1, 0.5, 1.0]))
+def test_hash_sample_threshold_property(texts, rate):
+    """Threshold semantics: kept iff md5 prefix < threshold; rate 0 keeps
+    nothing, rate 1 keeps everything."""
+    import hashlib
+
+    from nem_mms_ray.ops.sampling import sample_threshold
+
+    thr = sample_threshold(rate)
+    kept = [t for t in texts
+            if hashlib.md5(t.encode()).hexdigest()[:4] < thr]
+    if rate == 0.0:
+        assert kept == []
+    if rate == 1.0:
+        assert kept == texts
