@@ -18,6 +18,8 @@ Usage:
          [--quality-min 0.5] [--lang en]
   python -m nem_mms_ray scan ENC_DIR -o OUT_DIR [--columns a,b] \
          [--range col lo hi ...]   # zone-map predicate pushdown
+  python -m nem_mms_ray near-dedup DOCS.parquet -o OUT.parquet \
+         [--threshold 0.8]         # minhash pairs -> cluster components
 """
 
 from __future__ import annotations
@@ -122,6 +124,37 @@ def cmd_scan(args) -> int:
 
     n = rd.read_parquet(args.out).count()
     print(json.dumps({"rows": n, "out": args.out}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
+def cmd_near_dedup(args) -> int:
+    """MinHash+LSH near-dup pairs over a documents table, collapsed to
+    clusters by min-label propagation; writes (id, component) parquet —
+    keep rows where id == component, drop the rest."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import connected_components, minhash_dedup
+
+    ds = rd.read_parquet(args.inputs, columns=[args.id_col, args.text_col])
+    if args.id_col != "doc_id" or args.text_col != "text":
+        cols = {args.id_col: "doc_id", args.text_col: "text"}
+        ds = ds.map_batches(
+            lambda t: t.rename_columns([cols.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow")
+    pairs = minhash_dedup(ds, threshold=args.threshold)
+    comps = connected_components(pairs)
+    comps.write_parquet(args.out)
+    import ray.data as _rd
+
+    written = _rd.read_parquet(args.out)
+    n_nodes = written.count()
+    n_comps = written.groupby("component").count().count()
+    print(json.dumps({"near_dup_nodes": int(n_nodes),
+                      "clusters": int(n_comps),
+                      "duplicates_to_drop": int(n_nodes - n_comps)}))
     if owned:
         ray.shutdown()
     return 0
@@ -246,6 +279,17 @@ def main(argv: list[str] | None = None) -> int:
                          " not just labels); reads the corpus twice")
     pc.add_argument("--num-cpus", type=int, default=None)
     pc.set_defaults(fn=cmd_curate)
+
+    pn = sub.add_parser("near-dedup",
+                        help="minhash near-dup pairs -> connected components"
+                             " -> (id, component) parquet")
+    pn.add_argument("inputs", nargs="+")
+    pn.add_argument("-o", "--out", required=True)
+    pn.add_argument("--threshold", type=float, default=0.8)
+    pn.add_argument("--id-col", default="doc_id")
+    pn.add_argument("--text-col", default="text")
+    pn.add_argument("--num-cpus", type=int, default=None)
+    pn.set_defaults(fn=cmd_near_dedup)
 
     pg = sub.add_parser("gen", help="synthesize the FIXTURES webtable")
     pg.add_argument("-o", "--out", required=True)

@@ -98,3 +98,28 @@ def test_cli_curate_with_text(ray_session, tmp_path, capsys):
     t = pq.read_table(str(tmp_path / "cur"))
     assert set(t.column_names) >= {"doc_id", "text", "lang_pred", "quality"}
     assert t.num_rows == res["curated_rows"]
+
+
+def test_cli_near_dedup(ray_session, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from nem_mms_ray.__main__ import main
+
+    rng = np.random.default_rng(8)
+    vocab = [f"w{i}" for i in range(4000)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(120)]
+    texts[50] = texts[10]
+    texts[51] = texts[10]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                             "text": pa.array(texts)}), str(src))
+    main(["near-dedup", str(src), "-o", str(tmp_path / "nd"), "--threshold", "0.9"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["near_dup_nodes"] == 3 and res["clusters"] == 1
+    t = pq.read_table(str(tmp_path / "nd")).to_pandas()
+    assert dict(zip(t["id"], t["component"])) == {10: 10, 50: 10, 51: 10}
