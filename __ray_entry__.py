@@ -442,6 +442,18 @@ def _lineitem_qty_quantiles_sketch(sf_dir: str):
                             col="l_quantity", qs=(0.25, 0.5, 0.75))
 
 
+def _lineitem_qty_quantiles_by_flag(sf_dir: str):
+    """GROUP-wise quantiles via per-group mergeable digests, in the exact
+    low-cardinality regime (l_quantity has ~50 distinct values per group
+    << capacity): (l_returnflag, q, value), mirrored by a per-partition
+    row_number() oracle."""
+    from nem_mms_ray.ops.qdigest import group_quantiles
+
+    return group_quantiles(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        group_col="l_returnflag", col="l_quantity", qs=(0.25, 0.5, 0.75))
+
+
 def _simhash_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import simhash_batch
 
@@ -801,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk_docs": _token_topk_docs,
         "lang_cap_docs": _lang_cap_docs,
         "lineitem_qty_quantiles_sketch": _lineitem_qty_quantiles_sketch,
+        "lineitem_qty_quantiles_by_flag": _lineitem_qty_quantiles_by_flag,
         # dedup family
         "exact_dedup_docs": _exact_dedup_docs,
         "curate_docs": _curate_docs,
@@ -1108,6 +1121,18 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id, text FROM documents
             WHERE substr(md5(coalesce(text, '')), 1, 4) < '4000'
+        """,
+        "lineitem_qty_quantiles_by_flag": """
+            WITH r AS (
+                SELECT l_returnflag, l_quantity AS value,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_quantity) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem
+            )
+            SELECT l_returnflag, q, value::DOUBLE AS value
+            FROM (VALUES (0.25), (0.5), (0.75)) qs(q)
+            JOIN r ON r.rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
         """,
         "token_topk_docs": """
             WITH toks AS (

@@ -119,3 +119,51 @@ def digest_quantiles(ds, col: str = "value", qs: tuple = (0.25, 0.5, 0.75),
         "value": pa.array([digest_quantile(v, w, q) for q in sorted(qs)],
                           pa.float64()),
     })
+
+
+def group_quantiles(ds, group_col: str, col: str,
+                    qs: tuple = (0.25, 0.5, 0.75),
+                    capacity: int = 512) -> pa.Table:
+    """Per-group quantiles via mergeable digests: Dataset columns
+    (group, q, value), exact whenever each group's distinct-value count
+    stays <= capacity (see module docstring).
+
+    Scale shape: each batch pre-digests per group (np.unique per group —
+    one row per DISTINCT (group, value) per batch leaves the stage, a
+    massive reduction for low-cardinality measures), the single shuffle
+    groups by group_col, and the per-group merge + rank walk runs
+    vectorized in its task.  Group count bounds the Ray group count;
+    per-group digest size bounds task memory at ~capacity rows.
+    """
+    def per_batch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column(group_col).to_pandas(),
+            "v": np.asarray(t.column(col), np.float64),
+        })
+        outs_g, outs_v, outs_w = [], [], []
+        for g, sub in df.groupby("g", sort=False, dropna=False):
+            v, w = digest_batch(sub["v"].to_numpy(np.float64), capacity)
+            outs_g.extend([g] * len(v))
+            outs_v.append(v)
+            outs_w.append(w)
+        if not outs_g:
+            return pa.table({group_col: pa.array([], t.column(group_col).type),
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({group_col: pa.array(outs_g),
+                         "v": pa.array(np.concatenate(outs_v)),
+                         "w": pa.array(np.concatenate(outs_w))})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        v, w = merge_digests(
+            [(g["v"].to_numpy(np.float64), g["w"].to_numpy(np.int64))],
+            capacity)
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]] * len(qs),
+            "q": sorted(float(x) for x in qs),
+            "value": [digest_quantile(v, w, q) for q in sorted(qs)],
+        })
+
+    return (ds.map_batches(per_batch, batch_format="pyarrow")
+              .groupby(group_col)
+              .map_groups(finish, batch_format="pandas"))

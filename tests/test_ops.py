@@ -953,3 +953,27 @@ def test_connected_components_chain_and_clusters(ray_session):
     got = dict(zip(out["id"].astype(int), out["component"].astype(int)))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_group_quantiles_exact_and_multibatch(ray_session):
+    """Per-group digest quantiles equal per-group numpy order statistics
+    in the low-cardinality regime, across multiple batches."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.qdigest import group_quantiles
+
+    rng = np.random.default_rng(6)
+    n = 9000
+    df = pd.DataFrame({
+        "grp": np.where(np.arange(n) % 3 == 0, "A", "B"),
+        "value": rng.integers(1, 40, n).astype(np.float64),
+    })
+    out = group_quantiles(rd.from_pandas(df).repartition(8),
+                          group_col="grp", col="value",
+                          qs=(0.1, 0.5, 0.9)).to_pandas()
+    for grp, g in df.groupby("grp"):
+        xs = np.sort(g["value"].to_numpy())
+        for q in (0.1, 0.5, 0.9):
+            exp = xs[int(np.floor(q * (len(xs) - 1)))]
+            got = out[(out["grp"] == grp) & (out["q"] == q)]["value"].iloc[0]
+            assert got == exp, (grp, q)
