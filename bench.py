@@ -36,7 +36,12 @@ def _sf_value(sf_dir: str) -> float:
 def webtable_rows(sf: float, mult: int = 1) -> int:
     return max(5_000, int(sf * 1_200_000)) * mult
 
-SCALING_MULT = int(os.environ.get("NEM_MMS_SCALING_MULT", "4"))
+# default to the WORK-DOMINATED input (960k rows / 4.6 GB at sf0.1): the
+# 480k default measured 0.71-0.79 even on an idle box because ~1.5s of
+# fixed executor/plan cost at the hi level does not parallelize (r2+r3
+# BASELINE analysis); the larger input amortizes it and measures the
+# pipeline (0.79-0.89 across r3 samples)
+SCALING_MULT = int(os.environ.get("NEM_MMS_SCALING_MULT", "8"))
 # 64 MiB partitions: amortizes the ~0.2s per-partition plan (sketch + FSST
 # training) to <10% while keeping partition count >> CPUs at every level
 ENCODE_TARGET_BYTES = int(os.environ.get("NEM_MMS_TARGET_BYTES", str(64 << 20)))
