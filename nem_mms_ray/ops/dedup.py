@@ -406,7 +406,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
 
 
 def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
-                          max_gram_df: int) -> pd.DataFrame:
+                          max_gram_df: int | None) -> pd.DataFrame:
     """Per-gram doc pairs inside one coarse bucket, with the frequent-gram
     skew guard: a gram shared by > max_gram_df docs is excluded from pair
     generation (a stop-gram shared by M docs would emit M^2/2 pairs — the
@@ -417,6 +417,8 @@ def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
     out_a, out_b, out_na, out_nb = [], [], [], []
     dropped = 0
     max_df_seen = 0
+    if max_gram_df is None:
+        max_gram_df = np.iinfo(np.int64).max  # no cap: fully exact
     for _, sub in g.groupby("gram", sort=False):
         d = sub.drop_duplicates(id_col)
         if len(d) < 2:
@@ -452,7 +454,7 @@ def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_buckets: int = 256, max_gram_df: int = 1000):
+                        n_buckets: int = 256, max_gram_df: int | None = None):
     """EXACT n-gram Jaccard pairs (no LSH): Dataset[(a, b, jaccard)], a < b.
 
     Distributed shape: ONE explode pass emits (doc, gram, bucket, sz) where
@@ -466,12 +468,17 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
     1-2, ADVICE r2).  Only intersecting pairs materialize, so cost scales
     with gram sharing, not n^2; docs without grams produce no rows.
 
-    max_gram_df caps the per-gram document frequency for pair generation
-    (see _gram_pairs_in_bucket): exact whenever no gram exceeds the cap (the
-    oracle regime — the sf testdata's max df is far below 1000); above it,
-    reported jaccard is a lower bound for pairs that shared a dropped gram,
-    which for threshold >= 0.2 are overwhelmingly non-matches anyway.
-    The DuckDB oracle mirrors this over the literal gram strings."""
+    max_gram_df is an OPT-IN cap on per-gram document frequency for pair
+    generation (see _gram_pairs_in_bucket).  The default (None) preserves
+    the exact contract: a duplicate set of ANY size produces its pairs —
+    a default cap would silently emit zero pairs for boilerplate shared
+    by more docs than the cap, exactly the case exact dedup targets
+    (ADVICE r3).  At web scale, run exact/near dedup FIRST and then set
+    max_gram_df to bound the M^2/2 pair blow-up of residual stop-grams;
+    with a cap set, reported jaccard is a lower bound for pairs whose
+    shared grams were dropped (dropped grams are logged, never silent).
+    The DuckDB oracle mirrors the uncapped exact semantics over the
+    literal gram strings."""
     import functools
 
     from ray.data.aggregate import Max, Sum
@@ -857,19 +864,36 @@ def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
 # ---------------------------------------------------------------------------
 
 
-def _join_partitions(requested: int | None = None) -> int:
+#: target edge rows per hash-join partition when sizing from the edge list
+_EDGE_ROWS_PER_PARTITION = 1_000_000
+
+
+def _join_partitions(requested: int | None = None,
+                     edge_rows: int | None = None,
+                     cpus: int | None = None) -> int:
     """Partition count for Dataset.join: its hash aggregators are actors
     that each need a CPU slot, so requesting more partitions than the
-    cluster has CPUs deadlocks small sessions (observed at 4-CPU pytest)."""
+    cluster has CPUs deadlocks small sessions (observed at 4-CPU pytest).
+    The cap is therefore always cpus//2 (join uses two actor pools).
+
+    With `edge_rows`, size from the data: ~1M edge rows (~16 MB) per
+    partition, so a 100-TB run's edge list spreads across the cluster
+    instead of 16 aggregators (VERDICT r3 finding 2); without it, a fixed
+    16 ceiling keeps small interactive sessions snappy."""
     if requested:
         return requested
-    import ray
+    if cpus is None:
+        import ray
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(2, min(16, cpus // 2))
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+    cap = max(2, cpus // 2)
+    if edge_rows:
+        derived = -(-edge_rows // _EDGE_ROWS_PER_PARTITION)  # ceil div
+        return max(2, min(cap, derived))
+    return min(16, cap)
 
 
 def connected_components(pairs, max_iters: int = 25,
@@ -891,8 +915,6 @@ def connected_components(pairs, max_iters: int = 25,
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    num_partitions = _join_partitions(num_partitions)
-
     def symmetrize(t: pa.Table) -> pa.Table:
         a = np.asarray(t.column("a"), np.int64)
         b = np.asarray(t.column("b"), np.int64)
@@ -901,6 +923,10 @@ def connected_components(pairs, max_iters: int = 25,
 
     edges = pairs.select_columns(["a", "b"]).map_batches(
         symmetrize, batch_format="pyarrow").materialize()
+    # size the join from the edge list (count is free on a materialized
+    # dataset): each round's join/groupby traffic is proportional to it
+    num_partitions = _join_partitions(num_partitions,
+                                      edge_rows=edges.count())
     labels = (edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
               .map_batches(lambda t: pa.table({
                   "id": t.column("src"),
@@ -922,16 +948,19 @@ def connected_components(pairs, max_iters: int = 25,
             join_type="left_outer", num_partitions=num_partitions, on=("id",))
 
         def take_min(t: pa.Table) -> pa.Table:
-            lab = np.asarray(t.column("label"), np.float64)
-            off = np.asarray(t.column("offer").to_pandas().fillna(np.inf),
-                             np.float64)
-            new = np.minimum(lab, off).astype(np.int64)
-            changed = int((new != lab.astype(np.int64)).sum())
+            # all-Arrow int64: routing labels through float64 (or pandas
+            # fillna, which upcasts nullable int64) would corrupt node ids
+            # above 2^53 — common when ids are 64-bit hashes (ADVICE r3).
+            # A node with no offer keeps its label via the int64-max
+            # sentinel, never via inf.
+            lab = t.column("label").combine_chunks().cast(pa.int64())
+            off = pa.compute.fill_null(
+                t.column("offer").combine_chunks().cast(pa.int64()),
+                np.iinfo(np.int64).max)
+            new = pa.compute.min_element_wise(lab, off)
+            chg = pa.compute.not_equal(new, lab).cast(pa.int64())
             return pa.table({"id": t.column("id").cast(pa.int64()),
-                             "label": pa.array(new),
-                             "chg": pa.array(np.full(len(new), 0, np.int64))
-                             if changed == 0 else
-                             pa.array((new != lab.astype(np.int64)).astype(np.int64))})
+                             "label": new, "chg": chg})
 
         nxt = merged.map_batches(take_min, batch_format="pyarrow").materialize()
         n_changed = int(nxt.sum("chg") or 0)

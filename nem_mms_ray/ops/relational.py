@@ -538,6 +538,8 @@ def hash_equijoin(left_ds, right_ds, on: str,
     """
     from nem_mms_ray.ops.dedup import _join_partitions
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if on not in left_cols or on not in right_cols:
         raise ValueError("`on` must appear in both projections")
     num_partitions = _join_partitions(num_partitions)

@@ -312,13 +312,17 @@ class VerifyPartitions:
             # stream chunk-by-chunk: each decoded chunk compares against the
             # matching slice of the original and is then dropped — the full
             # decoded partition never materializes, and the ring scratch
-            # keeps decode output on already-faulted pages (each chunk is
-            # fully consumed before its ring slot can cycle)
+            # keeps decode output on already-faulted pages.  Ring slots are
+            # valid only until they cycle, and ONE chunk holds every FSST
+            # string column's decode output alive at once — so the ring
+            # must have at least as many slots as the chunk has columns
+            # (ADVICE r3: a fixed 16 silently corrupts the comparison for
+            # wider tables).
             from nem_mms_ray.codecs import _fsst_native as _native
 
             mismates: set = set()
             offset = 0
-            with _native.ring_scratch(16):
+            with _native.ring_scratch(max(16, orig.num_columns + 1)):
                 for _ci, chunk in iter_decoded_chunks(enc_path, self.columns):
                     sl = orig.slice(offset, chunk.num_rows)
                     for name in sl.column_names:

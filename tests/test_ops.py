@@ -977,3 +977,67 @@ def test_group_quantiles_exact_and_multibatch(ray_session):
             exp = xs[int(np.floor(q * (len(xs) - 1)))]
             got = out[(out["grp"] == grp) & (out["q"] == q)]["value"].iloc[0]
             assert got == exp, (grp, q)
+
+
+def test_hash_equijoin_rejects_unknown_how(ray_session):
+    """A typo'd how must raise, not silently produce a left join (ADVICE r3)."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.relational import hash_equijoin
+
+    df = pd.DataFrame({"k": [1], "v": [2]})
+    with pytest.raises(ValueError, match="how"):
+        hash_equijoin(rd.from_pandas(df), rd.from_pandas(df),
+                      on="k", left_cols=("k", "v"), right_cols=("k",),
+                      how="right")
+
+
+def test_join_partitions_derivation():
+    """Partition sizing: explicit wins; no edge count -> fixed 16 ceiling;
+    with an edge count, ~1M rows/partition capped by CPU slots (VERDICT r3)."""
+    from nem_mms_ray.ops.dedup import _join_partitions
+
+    assert _join_partitions(7) == 7
+    assert _join_partitions(cpus=64) == 16
+    assert _join_partitions(cpus=4) == 2
+    # 10M edges / 1M per partition = 10, fits a 64-CPU cluster
+    assert _join_partitions(edge_rows=10_000_000, cpus=64) == 10
+    # same edges on 8 CPUs: capped at cpus//2 (aggregators need CPU slots)
+    assert _join_partitions(edge_rows=10_000_000, cpus=8) == 4
+    # tiny edge lists keep the floor of 2
+    assert _join_partitions(edge_rows=5, cpus=64) == 2
+    # a 100-TB-scale edge list is NOT capped at 16 when CPUs allow
+    assert _join_partitions(edge_rows=1_000_000_000, cpus=4096) == 1000
+
+
+def test_connected_components_ids_above_2_53(ray_session):
+    """Node ids above 2^53 (64-bit hash ids): float64 routing would collapse
+    distinct ids to one label and merge unrelated clusters (ADVICE r3)."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import connected_components
+
+    base = 1 << 60  # float64 spacing here is 256: base+1..base+4 collapse
+    pairs = pd.DataFrame({
+        "a": np.array([base + 1, base + 3], np.int64),
+        "b": np.array([base + 2, base + 4], np.int64),
+    })
+    out = connected_components(rd.from_pandas(pairs)).to_pandas()
+    lab = dict(zip(out["id"].astype(np.int64), out["component"].astype(np.int64)))
+    assert lab == {base + 1: base + 1, base + 2: base + 1,
+                   base + 3: base + 3, base + 4: base + 3}
+
+
+def test_ngram_jaccard_default_is_exact(ray_session):
+    """Default max_gram_df=None: a duplicate set larger than any old cap
+    still produces ALL its pairs (the exact contract, ADVICE r3)."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import ngram_jaccard_pairs
+
+    text = "alpha beta gamma delta epsilon zeta"
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "text": [text] * 6})
+    out = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
+    assert len(out) == 15  # C(6,2): every pair, jaccard 1.0
+    assert (out["jaccard"] == 1.0).all()

@@ -301,3 +301,30 @@ def test_string_zone_map_scan(ray_session, tmp_path):
                                         t.column("params").to_pylist())
           if c == "url"]
     assert zs and all("zmin" in z and "zmax" in z for z in zs)
+
+
+def test_verify_wide_fsst_table(ray_session, tmp_path):
+    """Verify with MORE string columns than the old fixed ring size (16):
+    one chunk holds every FSST column's decode output alive at once, so the
+    ring must size from the column count — a fixed 16 cycles slots while
+    earlier columns of the same chunk are still referenced and corrupts the
+    comparison (ADVICE r3)."""
+    src = tmp_path / "wide.parquet"
+    n = 512
+    cols = {
+        f"s{i:02d}": pa.array(
+            [f"col{i:02d} the quick brown fox row {j} jumps over dog {j % 7}"
+             for j in range(n)])
+        for i in range(24)
+    }
+    pq.write_table(pa.table(cols), src, row_group_size=256)
+    enc = tmp_path / "enc"
+    encode_files([str(src)], enc, target_bytes=1 << 20).to_pandas()
+    encp = sorted(glob.glob(str(enc / "part-*.parquet")))[0]
+    meta = pq.read_table(encp, columns=["column", "codec", "chunk_idx"])
+    fsst_cols = {c for c, k in zip(meta.column("column").to_pylist(),
+                                   meta.column("codec").to_pylist())
+                 if k == "fsst"}
+    assert len(fsst_cols) > 16, f"fixture must exceed the old ring: {fsst_cols}"
+    v = verify_files([str(src)], enc, target_bytes=1 << 20).to_pandas()
+    assert v["ok"].all(), v.to_string()
