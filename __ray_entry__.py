@@ -380,14 +380,21 @@ def _cluster_assign_embeddings(sf_dir: str):
 
 
 def _tfidf_topk_docs(sf_dir: str):
-    """TF-IDF retrieval top-k for a 2-token query: df pass -> broadcast
-    rounded idf weights -> per-batch scoring + local top-k -> tiny driver
-    merge.  Weights round to 6 places before scoring so the SQL mirror
-    reproduces them exactly; scores round to 4 (guards float sum-order)."""
-    from nem_mms_ray.ops.invindex import tfidf_topk
+    """TF-IDF retrieval top-k for a 2-token query, routed through the
+    persisted postings index (index-once / query-many): df + candidate
+    docs from the pruned shard read, N from the index manifest, then a
+    candidate-filtered scoring pass with per-batch local top-k and a
+    tiny driver merge.  Weights round to 6 places before scoring so the
+    SQL mirror reproduces them exactly; scores round to 4 (guards float
+    sum-order)."""
+    import tempfile
 
-    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
-                      ["hash", "join"], k=10)
+    from nem_mms_ray.ops.invindex import build_token_index, tfidf_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="nem_tfidf_idx_")
+    build_token_index(ds, idx)
+    return tfidf_topk(ds, ["hash", "join"], k=10, index_dir=idx)
 
 
 def _orders_customer_join(sf_dir: str):
