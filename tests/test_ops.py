@@ -1085,3 +1085,69 @@ def test_lookup_postings_manifest_guards(ray_session, tmp_path):
         lookup_postings(idx, ["dog"], n_shards=4)
     out = lookup_postings(idx, ["dog"]).to_pandas()  # n_shards from manifest
     assert set(out["doc_id"].astype(int)) == {0, 1}
+
+
+def test_token_topk_sketch_exact_regime(ray_session):
+    """Capacity >= vocab keeps the Misra-Gries error at zero: the sketch
+    result is bit-identical to the exact token_topk."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.sampling import token_topk, token_topk_sketch
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(60)])
+    docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(200)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(6)
+    exact = token_topk(ds, k=15).to_pandas().reset_index(drop=True)
+    sk = token_topk_sketch(ds, k=15, capacity=4096).to_pandas()
+    assert sk.reset_index(drop=True).equals(exact)
+
+
+def test_token_topk_sketch_bounds(ray_session):
+    """Approximate regime (capacity << vocab): every reported count
+    brackets the true count (n_lo <= true <= n_hi), and every token whose
+    true count exceeds the accumulated error survives the sketch — the
+    Misra-Gries heavy-hitter guarantee."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.sampling import token_topk, token_topk_sketch
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(300)])
+    probs = 1.0 / (np.arange(300) + 1) ** 1.3
+    probs /= probs.sum()
+    docs = [" ".join(rng.choice(vocab, p=probs, size=40)) for _ in range(300)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+    true = (token_topk(ds, k=300).to_pandas()
+            .set_index("token")["n"].astype(int))
+    b = token_topk_sketch(ds, k=20, capacity=24,
+                          with_bounds=True).to_pandas()
+    err = int((b["n_hi"] - b["n_lo"]).iloc[0])
+    assert err > 0  # genuinely approximate regime
+    for _, r in b.iterrows():
+        t = true.get(r["token"], 0)
+        assert r["n_lo"] <= t <= r["n_hi"], (r["token"], r["n_lo"], t)
+    # heavy-hitter presence: tokens with true count > err must be in the
+    # full summary (query the sketch wide enough to see all survivors)
+    full = token_topk_sketch(ds, k=10**6, capacity=24).to_pandas()
+    kept = set(full["token"])
+    for tok, n in true.items():
+        if n > err:
+            assert tok in kept, (tok, n, err)
+
+
+def test_token_topk_sketch_empty_and_null(ray_session):
+    """Null/empty docs contribute nothing; an all-empty corpus yields an
+    empty sketch in both output shapes."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.sampling import token_topk_sketch
+
+    df = pd.DataFrame({"text": [None, "", "  ", "a a b"]})
+    out = token_topk_sketch(rd.from_pandas(df), k=5).to_pandas()
+    assert list(out["token"]) == ["a", "b"]
+    assert list(out["n"]) == [2, 1]
+    empty = pd.DataFrame({"text": [None, ""]})
+    out2 = token_topk_sketch(rd.from_pandas(empty), k=5,
+                             with_bounds=True).to_pandas()
+    assert len(out2) == 0 and list(out2.columns) == ["token", "n_lo", "n_hi"]
