@@ -397,6 +397,43 @@ def _tfidf_topk_docs(sf_dir: str):
     return tfidf_topk(ds, ["hash", "join"], k=10, index_dir=idx)
 
 
+#: deterministic markup wrapped around documents.text for the extraction
+#: oracle — tags, a style block, a script block, a comment and entities,
+#: so every rule in the extractor's chain fires.  Shared by the Ray query
+#: and the generated SQL (zero transcription drift).
+_EXTRACT_PRE = ('<html><head><style>p{color:red}</style></head>'
+                '<body><h1>T &amp; U</h1><p>')
+_EXTRACT_POST = '</p><script>var x="<p>";</script><!-- c --></body></html>'
+
+
+def _extract_text_docs(sf_dir: str):
+    """HTML -> text extraction (the input contract's per-row invariant:
+    byte-identical extracted text per id).  Each doc's text is wrapped in
+    deterministic markup exercising every extraction rule, then the
+    Arrow RE2 chain recovers the text; the oracle applies the SAME rule
+    table (webextract.sql_expr) to the same wrapped html in DuckDB."""
+    import pyarrow.compute as pc
+
+    from nem_mms_ray.ops.webextract import extract_text
+
+    def wrap(t: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            _EXTRACT_PRE, t.column("text").combine_chunks(), _EXTRACT_POST,
+            "")
+        return pa.table({"doc_id": t.column("doc_id"), "html": html})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        wrap, batch_format="pyarrow")
+    return extract_text(ds, html_col="html", out_col="text")
+
+
+def _extract_text_oracle_sql() -> str:
+    from nem_mms_ray.ops.webextract import sql_expr
+
+    wrapped = f"'{_EXTRACT_PRE}' || text || '{_EXTRACT_POST}'"
+    return f"SELECT doc_id, {sql_expr(wrapped)} AS text FROM documents"
+
+
 def _orders_customer_join(sf_dir: str):
     """Distributed hash-bucket equi-join with BOTH sides large (no
     broadcast): orders x customer on custkey.  The projected columns
@@ -572,22 +609,6 @@ def _ivf_ann_topk(sf_dir: str):
             break
     res = ivf_topk_cosine(ds, q, k=10, n_centroids=16, nprobe=16)
     return pa.Table.from_pandas(res[["vec_id", "cosine", "rank"]], preserve_index=False)
-
-
-def _encode_documents(sf_dir: str):
-    from nem_mms_ray.pipelines.decode import verify_files
-    from nem_mms_ray.pipelines.encode import encode_files
-
-    out = Path("/tmp/nem_mms_ray_q/encoded_documents")
-    shutil.rmtree(out, ignore_errors=True)
-    paths = [f"{sf_dir}/documents.parquet"]
-    metrics = encode_files(paths, out, target_bytes=16 << 20).to_pandas()
-    ver = verify_files(paths, out, target_bytes=16 << 20).to_pandas()
-    metrics["roundtrip_ok"] = bool(ver["ok"].all())
-    return pa.Table.from_pandas(
-        metrics[["pid", "rows", "orig_bytes", "encoded_bytes", "roundtrip_ok"]],
-        preserve_index=False,
-    )
 
 
 def _scan_events_range(sf_dir: str):
@@ -798,10 +819,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver's correctness report caps at 50 rows
     # (r3 reported only the first 50 of 52 declared queries), so every
     # oracle-bearing query sits BEFORE the rows-only demos and the total
-    # stays at 50.  The dropped rows-only demos (minhash_pairs,
-    # simhash_docs, encode_lineitem) are each covered by an oracle-checked
-    # sibling (minhash_exact_dups / simhash_near_dups / encode_documents)
-    # plus pinned tests.
+    # stays at exactly 50.  The dropped rows-only demos (minhash_pairs,
+    # simhash_docs, encode_lineitem, encode_documents) are each covered by
+    # an oracle-checked sibling (minhash_exact_dups / simhash_near_dups /
+    # decode_checksum_docs, which runs the same encode+decode pipeline and
+    # hash-checks the result) plus pinned tests; encode is additionally
+    # smoke-run by entry() and measured by bench.py.
     return {
         # relational breadth (groupby+combiner, broadcast join, top-k, windows)
         "pricing_summary": _pricing_summary,
@@ -828,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _fingerprint_docs,
         "lang_id_docs": _lang_id_docs,
         "repetition_docs": _repetition_docs,
+        "extract_text_docs": _extract_text_docs,
         "rolling_fp_docs": _rolling_fp_docs,
         "orders_customer_join": _orders_customer_join,
         "postings_lookup_docs": _postings_lookup_docs,
@@ -858,9 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_events_range": _scan_events_range,
         "scan_docs_source_range": _scan_docs_source_range,
         "media_features_docs": _media_features_docs,
-        # rows-only demos LAST (no oracle; weakest check if the report caps)
+        # rows-only demo LAST (no oracle; weakest check if the report caps)
         "mms_parse_demo": _mms_parse_demo,
-        "encode_documents": _encode_documents,
     }
 
 
@@ -1034,6 +1057,7 @@ def _rolling_fp_oracle_sql(window: int = 64) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
+        "extract_text_docs": _extract_text_oracle_sql(),
         "repetition_docs": """
             WITH w AS (
                 SELECT doc_id,

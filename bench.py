@@ -156,8 +156,44 @@ def run_bench() -> dict:
     encode_files(sf_paths, enc2, target_bytes=64 << 20).to_pandas()
     queries["encode_sf_tables"] = round(time.monotonic() - t0, 3)
 
-    # --- text pipeline over documents -------------------------------------
+    # --- html -> text extraction over the webtable ------------------------
+    # the input contract's per-row invariant stage: binary html in, RE2
+    # chain, text out; consume with a cheap length-sum so the whole output
+    # materializes without collecting it
+    import pyarrow.compute as pac
     import ray.data as rd
+
+    from nem_mms_ray.ops.webextract import extract_text
+
+    t0 = time.monotonic()
+    # the webtable has few shards (25k rows each) — ask the read for
+    # CPU-many blocks so the regex stage fans out past the file count
+    web = rd.read_parquet(web_paths, columns=["url", "html"],
+                          override_num_blocks=max(len(web_paths), NUM_CPUS))
+    ext = extract_text(web, html_col="html", out_col="text")
+    ext_chars = int(ext.map_batches(
+        lambda t: {"nb": [int(pac.sum(pac.utf8_length(
+            pac.fill_null(t.column("text"), ""))).as_py() or 0)]},
+        batch_format="pyarrow").sum("nb"))
+    queries["extract_webtext"] = round(time.monotonic() - t0, 3)
+    # throughput denominator: the html column's uncompressed bytes, from
+    # parquet footers (free — no extra data pass)
+    import pyarrow.parquet as _pq
+
+    html_bytes = 0
+    for p in web_paths:
+        md = _pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "html":
+                    html_bytes += col.total_uncompressed_size
+    extras["extract_chars"] = ext_chars
+    extras["extract_html_mb"] = round(html_bytes / 1e6, 1)
+    extras["extract_mbps"] = round(
+        html_bytes / 1e6 / queries["extract_webtext"], 1)
+
+    # --- text pipeline over documents -------------------------------------
 
     t0 = time.monotonic()
     import pyarrow as _pa
