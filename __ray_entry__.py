@@ -334,6 +334,35 @@ def _curate_docs_text(sf_dir: str):
         quality_min=0.5, lang="en")
 
 
+def _curate_docs_near(sf_dir: str):
+    """The curation ENDGAME (VERDICT r3 item 8): gate + exact dedup + text
+    semi-join, then minhash near-dedup -> connected components -> keep each
+    component's min-id representative.  Threshold 1.0 is the guaranteed-
+    recall regime (equal gram sets), so the whole five-stage composition is
+    hash-checked by one SQL.  Planted near-dups (doc_id + 1_000_000, text
+    plus ONE trailing space) survive the exact md5 stage — different bytes
+    — but collapse in the near stage — identical word grams — making it
+    non-vacuous; the reps keep the ORIGINAL ids (min of each pair)."""
+    import pyarrow.compute as pc
+
+    from nem_mms_ray.ops.curate import curate_documents_near
+
+    def plant(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t.column("doc_id"), 10))
+        return pa.table({
+            "doc_id": pc.add(sub.column("doc_id"), 1_000_000),
+            "text": pc.binary_join_element_wise(
+                sub.column("text").combine_chunks(), " ", ""),
+        })
+
+    def factory():
+        base = _read(sf_dir, "documents", ["doc_id", "text"])
+        return base.union(base.map_batches(plant, batch_format="pyarrow"))
+
+    return curate_documents_near(factory, quality_min=0.5, lang="en",
+                                 threshold=1.0)
+
+
 def _events_value_quantiles_2pass(sf_dir: str):
     """Same exact order-statistic answer as `events_value_quantiles`, via
     the shuffle-free sample+exact-rank two-pass (`sampled_exact_quantiles`)
@@ -789,42 +818,18 @@ def _embedding_norms(sf_dir: str):
     return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(norms, batch_format="pyarrow")
 
 
-def _mms_parse_demo(sf_dir: str):
-    """MMS ingestion demo: deterministic fixture dir -> parse -> summary rows
-    (rows-only; the MMS semantics are pinned by tests/test_mms.py)."""
-    from nem_mms_ray.mms.pipeline import parse_to_parquet
-
-    base = Path("/tmp/nem_mms_ray_q/mms_fixture")
-    shutil.rmtree(base, ignore_errors=True)
-    indir = base / "in"
-    indir.mkdir(parents=True)
-    scada = (
-        "I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE\n"
-        + "".join(
-            f"D,DISPATCH,UNIT_SCADA,1,2021/04/01 {4 + i // 60:02d}:{i % 60:02d}:00,UNIT{i % 7},{i * 1.5}\n"
-            for i in range(200)
-        )
-        + "C,END OF REPORT,202\n"
-    )
-    (indir / "scada.csv").write_text(scada)
-    summary = parse_to_parquet(indir, base / "out")
-    rows = [
-        {"package": pkg, "rows": int(info["rows"])}
-        for pkg, info in sorted(summary["packages"].items())
-    ]
-    return pa.Table.from_pylist(rows)
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver's correctness report caps at 50 rows
-    # (r3 reported only the first 50 of 52 declared queries), so every
-    # oracle-bearing query sits BEFORE the rows-only demos and the total
-    # stays at exactly 50.  The dropped rows-only demos (minhash_pairs,
-    # simhash_docs, encode_lineitem, encode_documents) are each covered by
-    # an oracle-checked sibling (minhash_exact_dups / simhash_near_dups /
+    # (r3 reported only the first 50 of 52 declared queries), so the total
+    # stays at exactly 50 and EVERY entry is oracle-bearing.  The dropped
+    # rows-only demos (minhash_pairs, simhash_docs, encode_lineitem,
+    # encode_documents, mms_parse_demo) are each covered by an
+    # oracle-checked sibling (minhash_exact_dups / simhash_near_dups /
     # decode_checksum_docs, which runs the same encode+decode pipeline and
-    # hash-checks the result) plus pinned tests; encode is additionally
-    # smoke-run by entry() and measured by bench.py.
+    # hash-checks the result) plus pinned tests (MMS parity:
+    # tests/test_mms*.py against reference fixtures); encode is smoke-run
+    # by entry() and encode/mms throughput is measured every round by
+    # bench.py.
     return {
         # relational breadth (groupby+combiner, broadcast join, top-k, windows)
         "pricing_summary": _pricing_summary,
@@ -868,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,
         "curate_docs": _curate_docs,
         "curate_docs_text": _curate_docs_text,
+        "curate_docs_near": _curate_docs_near,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "minhash_exact_dups": _minhash_exact_dups,
         "dedup_components_docs": _dedup_components_docs,
@@ -882,8 +888,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_events_range": _scan_events_range,
         "scan_docs_source_range": _scan_docs_source_range,
         "media_features_docs": _media_features_docs,
-        # rows-only demo LAST (no oracle; weakest check if the report caps)
-        "mms_parse_demo": _mms_parse_demo,
     }
 
 
@@ -932,11 +936,17 @@ def _lang_id_oracle_sql() -> str:
 
 
 def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en",
-                       with_text: bool = False) -> str:
+                       with_text: bool = False,
+                       source: str = "documents",
+                       near: bool = False) -> str:
     """DuckDB mirror of ops.curate.curate_documents: same lang VALUES
     source, same quality formula, dedup winner = min doc_id per md5.
     with_text appends the winner's text column — the curate_docs_text
-    semi-join mirror."""
+    semi-join mirror.  `source` swaps the corpus CTE (the near oracle
+    plants dups first); `near` appends the curate_documents_near stage:
+    group the exact winners by the md5 of their sorted distinct 3-word
+    grams (== minhash threshold-1.0 components, since equal gram sets is
+    an equivalence relation) and keep the min doc_id per group."""
     from nem_mms_ray.ops.textstats import _STOPWORDS
 
     values = ", ".join(
@@ -944,13 +954,50 @@ def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en",
         for lg in sorted(_STOPWORDS)
         for w in sorted(_STOPWORDS[lg])
     )
+    # the near stage reuses the components-oracle gram spec verbatim
+    # (3-word shingles over whitespace tokens, short docs collapse to one
+    # whole-text gram); a doc with no grams gets a per-doc key, i.e. it is
+    # always its own representative — matching minhash, which can never
+    # pair a shingle-less doc.
+    near_ctes = """,
+        nws AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM cur
+        ),
+        ngr AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN []
+                        WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                        ELSE list_transform(range(1, len(ws) - 1),
+                            i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+                   END AS grams
+            FROM nws
+        ),
+        ng AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM ngr),
+        nkey AS (
+            SELECT doc_id, md5(string_agg(gram, '|' ORDER BY gram)) AS k
+            FROM ng GROUP BY doc_id
+        ),
+        keyed AS (
+            SELECT cur.doc_id,
+                   coalesce(nkey.k, 'solo:' || cur.doc_id) AS k
+            FROM cur LEFT JOIN nkey USING (doc_id)
+        ),
+        nwin AS (SELECT k, min(doc_id) AS rep FROM keyed GROUP BY k),
+        near_rep AS (
+            SELECT cur.* FROM cur
+            JOIN keyed USING (doc_id)
+            JOIN nwin ON keyed.k = nwin.k AND cur.doc_id = nwin.rep
+        )""" if near else ""
     return f"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(regexp_extract_all(
                        lower(substr(coalesce(text, ''), 1, 2000)),
                        '[0-9a-z_'']+')) AS tok
-            FROM documents
+            FROM {source}
         ),
         counts AS (
             SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
@@ -976,7 +1023,7 @@ def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en",
                    (len(coalesce(text, ''))
                     - len(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))::DOUBLE
                        AS n_punct
-            FROM documents
+            FROM {source}
         ),
         lab AS (
             SELECT d.doc_id, d.text,
@@ -984,7 +1031,7 @@ def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en",
                    round(least(1.0, qt.n_tokens / 100.0)
                          * (1.0 - least(round(qt.n_punct / greatest(qt.n_chars, 1), 6) * 5.0, 0.5)), 6)
                        AS quality
-            FROM documents d
+            FROM {source} d
             JOIN qt ON qt.doc_id = d.doc_id
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
         ),
@@ -995,9 +1042,13 @@ def _curate_oracle_sql(quality_min: float = 0.5, lang: str = "en",
         w AS (
             SELECT min(doc_id) AS doc_id
             FROM f GROUP BY md5(coalesce(text, ''))
-        )
-        SELECT f.doc_id, {"f.text, " if with_text else ""}f.lang_pred, f.quality
-        FROM f JOIN w ON f.doc_id = w.doc_id
+        ),
+        cur AS (
+            SELECT f.doc_id, f.text, f.lang_pred, f.quality
+            FROM f JOIN w ON f.doc_id = w.doc_id
+        ){near_ctes}
+        SELECT doc_id, {"text, " if with_text else ""}lang_pred, quality
+        FROM {"near_rep" if near else "cur"}
     """
 
 
@@ -1085,6 +1136,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curate_docs": _curate_oracle_sql(),
         "curate_docs_text": _curate_oracle_sql(with_text=True),
+        "curate_docs_near": _curate_oracle_sql(
+            with_text=True, near=True,
+            source="""(SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000 AS doc_id, text || ' ' AS text
+                       FROM documents WHERE doc_id < 10)"""),
         "rolling_fp_docs": _rolling_fp_oracle_sql(),
         "orders_customer_join": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name

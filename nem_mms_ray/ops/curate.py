@@ -228,6 +228,96 @@ def curated_text_semijoin(source_ds, winners_ds, id_col: str = "doc_id",
                 .map_groups(merge_bucket, batch_format="pandas"))
 
 
+def drop_ids(ds, drop_ds, id_col: str = "doc_id",
+             max_broadcast_ids: int = 5_000_000, n_buckets: int = 64):
+    """Anti-join: rows of `ds` whose `id_col` does NOT appear in `drop_ds`
+    (a Dataset with an `id` column).  All other columns pass through.
+
+    Same two shapes as `curated_text_semijoin`, auto-selected on the drop
+    count: the drop side is bare int64 ids (8 B each — 5M ids ~ 40 MB), so
+    broadcast covers any realistic near-dup fraction; above the threshold
+    a hash-bucket union anti-join keeps everything worker-side (payload
+    rows cross the shuffle once — unavoidable without knowing the set)."""
+    import ray
+
+    n_drop = drop_ds.count()
+    if n_drop == 0:
+        return ds
+    if n_drop <= max_broadcast_ids:
+        sk = np.sort(drop_ds.to_pandas()["id"].to_numpy(np.int64))
+        ref = ray.put(sk)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            ids = np.asarray(batch.column(id_col), np.int64)
+            if not len(s):
+                return batch
+            pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
+            return batch.filter(pa.array(s[pos] != ids))
+
+        return ds.map_batches(anti, batch_format="pyarrow")
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), np.int64)
+        return (t.append_column("side", pa.array(np.ones(len(ids), np.int8)))
+                 .append_column("bucket",
+                                pa.array((ids % n_buckets).astype(np.int32))))
+
+    def tag_drop(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("id"), np.int64)
+        cols = {id_col: pa.array(ids),
+                "side": pa.array(np.zeros(len(ids), np.int8)),
+                "bucket": pa.array((ids % n_buckets).astype(np.int32))}
+        return pa.table(cols)
+
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gone = g.loc[g["side"] == 0, id_col]
+        out = g[(g["side"] == 1) & ~g[id_col].isin(gone)]
+        return out.drop(columns=["side", "bucket"])
+
+    both = ds.map_batches(tag_payload, batch_format="pyarrow").union(
+        drop_ds.map_batches(tag_drop, batch_format="pyarrow"))
+    return both.groupby("bucket").map_groups(keep_bucket, batch_format="pandas")
+
+
+def curate_documents_near(ds_factory, quality_min: float = 0.0,
+                          lang: str | None = None, threshold: float = 1.0,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          minhash_kw: dict | None = None, **semijoin_kw):
+    """The full curation endgame (VERDICT r3 item 8): gate + exact dedup +
+    text semi-join, then MinHash near-dup pairs -> connected components ->
+    keep only each component's representative (its minimum id).
+
+    Returns Dataset[(doc_id, text, lang_pred, quality)] — the curated
+    corpus with near-duplicates collapsed.
+
+    The curated intermediate is materialized once: it is consumed three
+    times (minhash signature pass, minhash verify pass, final anti-join)
+    and is the natural checkpoint of a production run (which would
+    `write_parquet` it instead — post-gate + exact-dedup, so a fraction
+    of the corpus; Ray's object store spills it rather than re-running
+    three corpus reads + label passes).  Docs that appear in no near-dup
+    pair are their own representative and pass through untouched.
+    """
+    from nem_mms_ray.ops.dedup import connected_components, minhash_dedup
+
+    curated = curate_documents_with_text(
+        ds_factory, quality_min=quality_min, lang=lang, id_col=id_col,
+        text_col=text_col, **semijoin_kw).materialize()
+    near_in = curated.select_columns([id_col, text_col])
+    if (id_col, text_col) != ("doc_id", "text"):
+        near_in = near_in.map_batches(
+            lambda t: t.rename_columns(["doc_id", "text"]),
+            batch_format="pyarrow")
+    pairs = minhash_dedup(near_in, threshold=threshold, **(minhash_kw or {}))
+    comps = connected_components(pairs)
+    losers = comps.map_batches(
+        lambda t: pa.table({"id": t.column("id").filter(
+            pa.compute.not_equal(t.column("id"), t.column("component")))}),
+        batch_format="pyarrow")
+    return drop_ids(curated, losers, id_col=id_col)
+
+
 def curate_documents_with_text(ds_factory, quality_min: float = 0.0,
                                lang: str | None = None,
                                id_col: str = "doc_id", text_col: str = "text",

@@ -1151,3 +1151,55 @@ def test_token_topk_sketch_empty_and_null(ray_session):
     out2 = token_topk_sketch(rd.from_pandas(empty), k=5,
                              with_bounds=True).to_pandas()
     assert len(out2) == 0 and list(out2.columns) == ["token", "n_lo", "n_hi"]
+
+
+def test_drop_ids_both_paths(ray_session):
+    """Anti-join keeps exactly the non-dropped rows, all columns intact,
+    identically through the broadcast and hash-bucket shapes."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.curate import drop_ids
+
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                       "text": [f"t{i}" for i in range(20)]})
+    drop = pd.DataFrame({"id": np.array([3, 7, 11, 19], np.int64)})
+
+    bc = drop_ids(rd.from_pandas(df), rd.from_pandas(drop)
+                  ).to_pandas().sort_values("doc_id")
+    dist = drop_ids(rd.from_pandas(df), rd.from_pandas(drop),
+                    max_broadcast_ids=0, n_buckets=3
+                    ).to_pandas().sort_values("doc_id")
+    want = df[~df["doc_id"].isin(drop["id"])]
+    for out in (bc, dist):
+        assert list(out["doc_id"]) == list(want["doc_id"])
+        assert list(out["text"]) == list(want["text"])
+    # empty drop set: everything survives
+    none = drop_ids(rd.from_pandas(df),
+                    rd.from_pandas(pd.DataFrame({"id": np.array([], np.int64)}))
+                    ).to_pandas()
+    assert len(none) == 20
+
+
+def test_curate_documents_near(ray_session):
+    """Endgame composition: near-dups (different md5, equal gram sets)
+    collapse to the min-id representative AFTER surviving exact dedup."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.curate import curate_documents_near
+
+    en = ("the quick brown fox jumps over the lazy dog and runs to the "
+          "hills with great speed for that is what foxes do in the wild ") * 5
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3, 4], np.int64),
+        "text": [en,            # representative
+                 en + " ",      # near-dup: md5 differs, grams equal -> drop
+                 en + "tail",   # different grams -> keep
+                 "kurz und gut",  # gated (German / low quality)
+                 en],           # exact dup of 0 -> dropped by md5 stage
+    })
+    out = curate_documents_near(lambda: rd.from_pandas(df), quality_min=0.5,
+                                lang="en", threshold=1.0
+                                ).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 2]
+    assert list(out.columns) == ["doc_id", "text", "lang_pred", "quality"]
+    assert out.set_index("doc_id").loc[0, "text"] == en
