@@ -8,14 +8,14 @@ tag-stripping spec that runs entirely in Arrow's RE2 kernels — one
 `pc.replace_substring_regex` C pass per rule, no Python strings in the
 hot path:
 
-  1. drop <script>...</script> and <style>...</style> blocks (their
-     content is code, not text),
-  2. drop <!-- comments -->,
-  3. replace every remaining <tag> with a space (space, not empty, so
-     `a</td><td>b` doesn't weld into `ab`),
-  4. decode the six ubiquitous entities (&nbsp; &lt; &gt; &quot; &#39;
+  1. ONE structural pass (a single leftmost-first alternation): drop
+     <script>...</script> and <style>...</style> blocks (their content is
+     code, not text) and <!-- comments -->, and replace every other <tag>
+     with a space (space, not empty, so `a</td><td>b` doesn't weld into
+     `ab`),
+  2. decode the six ubiquitous entities (&nbsp; &lt; &gt; &quot; &#39;
      &amp; — amp LAST so `&amp;lt;` decodes to the literal `&lt;`),
-  5. collapse whitespace runs to one space and trim.
+  3. collapse whitespace runs to one space and trim.
 
 Entity decoding runs AFTER tag stripping on purpose: a decoded `&lt;b&gt;`
 is text and must survive, not be re-stripped as a tag.
@@ -38,7 +38,9 @@ alias the ASCII metacharacters (< > & ;), so byte-mode extraction equals
 decode-then-extract on every valid input — and on invalid bytes (real
 Common Crawl contains them; so do this repo's sliced webtable blobs) it
 stays deterministic and vectorized instead of dropping to a per-row
-Python decode of the full html.  The final decode is ONE
+Python decode of the full html.  The binary hot path additionally fuses
+the whitespace/trim step into the per-row bytes (see
+`_extract_fused_binary`); the final decode is ONE
 bytes.decode("utf-8","replace") over the NUL-joined batch (C speed),
 split back per row; rows containing a genuine 0x00 take the per-row
 path (the join sentinel would be ambiguous).
@@ -55,13 +57,18 @@ logger = logging.getLogger(__name__)
 
 #: (pattern, replacement) regex passes, applied in order.  RE2 syntax —
 #: valid for Arrow and DuckDB alike (no backreferences, inline flags ok).
-#: The three block rules (script/style/comment) are ONE alternation pass:
-#: each regex pass scans the full payload, so fewer passes is the main
-#: throughput lever (~450 MB of html per bench run scans 4x, not 6x).
+#: ALL four structural rules (script/style blocks, comments, tags) are ONE
+#: alternation in ONE pass: each regex pass scans and copies the full
+#: payload, so pass count is the main throughput lever (A/B on the sf0.1
+#: webtable html: two passes 25 MB/s/core, merged 37 MB/s/core with the
+#: fused decode below).  Alternation order is load-bearing: RE2, DuckDB
+#: and Python `re` all use leftmost-FIRST alternative semantics, so at a
+#: `<script`/`<style`/`<!--` position the whole block is consumed before
+#: the bare-tag rule can see it.
 _REGEX_RULES: tuple[tuple[str, str], ...] = (
-    (r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->",
+    (r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+     r"|<!--.*?-->|<[^>]*>",
      " "),
-    (r"(?s)<[^>]*>", " "),
 )
 
 #: literal entity decodes, applied after tag stripping, in order (amp last).
@@ -133,6 +140,34 @@ def lossy_decode(col) -> pa.Array:
                     pa.string())
 
 
+def _extract_fused_binary(col) -> pa.Array:
+    """The hot path for binary html: regex + entity passes run byte-mode
+    in Arrow, then whitespace-collapse + trim + decode FUSE into the
+    per-row bytes step — `b" ".join(b.split())` is one C pass over the
+    already-shrunk extracted text and replaces two more full-width RE2
+    passes (`bytes.split()` splits on exactly the six ASCII whitespace
+    bytes of _WS_PATTERN, and join+drop-edges == collapse+trim).
+    Byte-identical to lossy_decode(extract_bytes_array(col)); A/B: 25 ->
+    37 MB/s/core on the sf0.1 webtable html."""
+    a = col
+    for pat, rep in _REGEX_RULES:
+        a = pc.replace_substring_regex(a, pattern=pat, replacement=rep)
+    for ent, rep in _ENTITY_RULES:
+        a = pc.replace_substring(a, pattern=ent, replacement=rep)
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    bufs = [v.as_py() for v in a]
+    present = [b" ".join(b.split()) for b in bufs if b is not None]
+    if any(b"\x00" in b for b in present):
+        logger.info("extract: NUL byte in payload, per-row decode")
+        dec = iter([b.decode("utf-8", "replace") for b in present])
+    else:
+        joined = b"\x00".join(present)
+        dec = iter(joined.decode("utf-8", "replace").split("\x00"))
+    return pa.array([None if b is None else next(dec) for b in bufs],
+                    pa.string())
+
+
 def extract_text(ds, html_col: str = "html", out_col: str = "text",
                  drop_html: bool = True):
     """Dataset stage: add `out_col` = extracted text of `html_col`.
@@ -146,7 +181,7 @@ def extract_text(ds, html_col: str = "html", out_col: str = "text",
         col = t.column(html_col)
         if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
             # extract on raw bytes, decode only the (much smaller) text
-            text = lossy_decode(extract_bytes_array(col))
+            text = _extract_fused_binary(col)
         else:
             text = extract_text_array(col)
         if out_col in t.column_names:
