@@ -180,8 +180,14 @@ def extract_text(ds, html_col: str = "html", out_col: str = "text",
     def run(t: pa.Table) -> pa.Table:
         col = t.column(html_col)
         if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-            # extract on raw bytes, decode only the (much smaller) text
-            text = _extract_fused_binary(col)
+            # extract on raw bytes, decode only the (much smaller) text.
+            # C single-pass kernel when a compiler exists (~10x the RE2
+            # chain); the fused Arrow chain is the byte-identical fallback.
+            from nem_mms_ray.ops._webextract_native import extract_batch
+
+            text = extract_batch(col)
+            if text is None:
+                text = _extract_fused_binary(col)
         else:
             text = extract_text_array(col)
         if out_col in t.column_names:

@@ -172,3 +172,75 @@ def test_extract_text_stage_binary_invalid_utf8_vectorized(ray_session):
     df = pd.DataFrame({"html": raw})
     out = extract_text(rd.from_pandas(df)).to_pandas()
     assert list(out["text"]) == [ref(b) for b in raw]
+
+
+def _reference_extract_bytes(b):
+    if b is None:
+        return None
+    for pat, rep in _REGEX_RULES:
+        b = re.sub(pat.encode(), rep.encode(), b)
+    for ent, rep in _ENTITY_RULES:
+        b = b.replace(ent.encode(), rep.encode())
+    b = re.sub(_WS_PATTERN.encode(), b" ", b)
+    return b.strip(b" ").decode("utf-8", "replace")
+
+
+def test_c_kernel_matches_reference_on_adversarial_and_fuzz():
+    """The single-pass C kernel is byte-identical to the regex spec on
+    alternation-order edge cases (unclosed blocks, nested openers, fake
+    closers, case-folding aliases like \\r vs '-') and 1500 fuzzed
+    tag/entity soups, including invalid UTF-8 and embedded NULs."""
+    import random
+
+    from nem_mms_ray.ops._webextract_native import extract_batch
+
+    cases = [
+        b"<di<script>x</script>v>", b"<script no close", b"<script>no close",
+        b"<style>x", b"<!-- unclosed", b"<!-- a>b -->tail", b"<<b>",
+        b"\r\r> fake close -->", b"<a <b>", b"<scriptxyz>hidden</script>on",
+        b"&am<!-- -->p;", b"&NBSP; caseless", b"&nbsp;lead", b"trail&nbsp;",
+        b"nul\x00here <i>x</i>", b"bad \xff <b>byte</b>", b"", None,
+        b"\xe4\xb8\xad<script>\xff</script>\xe6\x96\x87",
+        b"<SCRIPT SRC=x>UP</SCRIPT>ok", b"a&nbsp;&nbsp;b",
+    ]
+    rng = random.Random(7)
+    pieces = [b"<", b">", b"&", b"script", b"style", b"<!--", b"-->",
+              b"</script>", b"</STYLE>", b"amp;", b"&amp;", b"&lt;",
+              b"&nbsp;", b" ", b"\n", b"\t", b"a", b"Z", b"\xff",
+              b"\xe4\xb8", b"x y", b";", b"\x00"]
+    for _ in range(1500):
+        cases.append(b"".join(rng.choice(pieces)
+                              for _ in range(rng.randint(0, 25))))
+    arr = pa.array(cases, pa.binary())
+    got = extract_batch(arr)
+    if got is None:
+        pytest.skip("no C compiler available")
+    assert got.to_pylist() == [_reference_extract_bytes(c) for c in cases]
+
+
+def test_c_kernel_matches_fused_arrow_path_on_webtable():
+    """Kernel and Arrow-chain fallback agree on real webtable html
+    (sliced blobs, invalid UTF-8) — the two hot paths can never drift."""
+    from nem_mms_ray.ops._webextract_native import extract_batch
+    from nem_mms_ray.ops.webextract import _extract_fused_binary
+    from nem_mms_ray.webtable import SMALL, generate_shard
+
+    t = generate_shard(3, 300, 0, SMALL)
+    col = t.column("html").combine_chunks()
+    got = extract_batch(col)
+    if got is None:
+        pytest.skip("no C compiler available")
+    assert got.to_pylist() == _extract_fused_binary(col).to_pylist()
+
+
+def test_c_kernel_sliced_input():
+    """Arrow slice offsets route correctly into the (data, offsets) call."""
+    from nem_mms_ray.ops._webextract_native import extract_batch
+
+    arr = pa.array([b"<p>a</p>", b"<b>b</b>", b"c &amp; d", None,
+                    b"<i>e</i>"], pa.binary())
+    sl = arr.slice(1, 3)
+    got = extract_batch(sl)
+    if got is None:
+        pytest.skip("no C compiler available")
+    assert got.to_pylist() == ["b", "c & d", None]
