@@ -20,6 +20,10 @@ Usage:
          [--range col lo hi ...]   # zone-map predicate pushdown
   python -m nem_mms_ray near-dedup DOCS.parquet -o OUT.parquet \
          [--threshold 0.8]         # minhash pairs -> cluster components
+  python -m nem_mms_ray web WEB.parquet [WEB2...] -o OUT_DIR \
+         [--quality-min 0.5] [--lang en] [--near-dedup] [--verify]
+         # the composed flagship: extract -> curate -> encode, with
+         # stage-level checkpoint resume
 """
 
 from __future__ import annotations
@@ -189,6 +193,22 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_web(args) -> int:
+    """extract -> curate -> encode over a web table (pipelines/web.py);
+    stage outputs are checkpoints, the summary JSON is per-stage."""
+    ray, owned = _init_ray(args.num_cpus)
+    from nem_mms_ray.pipelines.web import web_pipeline
+
+    summary = web_pipeline(
+        args.inputs, args.out, quality_min=args.quality_min, lang=args.lang,
+        near_dedup=args.near_dedup, threshold=args.threshold,
+        verify=args.verify, resume=not args.no_resume)
+    print(json.dumps(summary))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def cmd_describe(args) -> int:
     """Codec registry + manifest metrics — no Ray session needed."""
     from nem_mms_ray.codecs import REGISTRY
@@ -290,6 +310,19 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("--text-col", default="text")
     pn.add_argument("--num-cpus", type=int, default=None)
     pn.set_defaults(fn=cmd_near_dedup)
+
+    pw = sub.add_parser("web", help="composed flagship: extract -> curate"
+                                    " -> encode with stage checkpoints")
+    pw.add_argument("inputs", nargs="+")
+    pw.add_argument("-o", "--out", required=True)
+    pw.add_argument("--quality-min", type=float, default=0.0)
+    pw.add_argument("--lang", default=None)
+    pw.add_argument("--near-dedup", action="store_true")
+    pw.add_argument("--threshold", type=float, default=1.0)
+    pw.add_argument("--verify", action="store_true")
+    pw.add_argument("--no-resume", action="store_true")
+    pw.add_argument("--num-cpus", type=int, default=None)
+    pw.set_defaults(fn=cmd_web)
 
     pg = sub.add_parser("gen", help="synthesize the FIXTURES webtable")
     pg.add_argument("-o", "--out", required=True)

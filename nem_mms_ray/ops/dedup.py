@@ -928,6 +928,12 @@ def connected_components(pairs, max_iters: int = 25,
 
     edges = pairs.select_columns(["a", "b"]).map_batches(
         symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # no pairs -> no components; the empty-block Dataset would lose
+        # its schema before the join (observed: Arrow "no match for key
+        # field src"), so return a TYPED empty result instead
+        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                       "component": pa.array([], pa.int64())}))
     # size the join from the edge list (count is free on a materialized
     # dataset): each round's join/groupby traffic is proportional to it
     num_partitions = _join_partitions(num_partitions,

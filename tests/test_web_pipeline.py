@@ -1,0 +1,144 @@
+"""End-to-end composed flagship: extract -> curate -> encode (+verify),
+stage checkpoints, and the CLI surface."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+EN = ("the quick brown fox jumps over the lazy dog and runs to the hills "
+      "with great speed for that is what foxes do in the wild ") * 5
+
+
+def _write_webtable(path, rows):
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = pd.Timestamp("2025-01-01")
+    pq.write_table(pa.Table.from_pandas(df[["url", "warc_ts", "html"]],
+                                        preserve_index=False), path)
+
+
+def test_web_pipeline_end_to_end(ray_session, tmp_path):
+    from nem_mms_ray.pipelines.web import web_pipeline
+
+    # distinct-token texts make the gram math exact: B = A minus its last
+    # word has Jaccard 117/118 vs A (near-dup at 0.9); C shares no grams
+    A = " ".join(f"tok{i:03d}" for i in range(120))
+    B = " ".join(f"tok{i:03d}" for i in range(119))
+    C = " ".join(f"sep{i:03d}" for i in range(120))
+    rows = [
+        {"url": "http://a/1", "html": f"<p>{A}</p>".encode()},
+        {"url": "http://a/2", "html": f"<b>{A}</b>".encode()},  # exact dup text
+        {"url": "http://a/3", "html": f"<p>{B}</p>".encode()},  # near dup of A
+        {"url": "http://a/4", "html": b"<p>short</p>"},          # quality-gated
+        {"url": "http://a/5", "html": f"<p>{C}</p>".encode()},
+    ]
+    src = tmp_path / "web.parquet"
+    _write_webtable(str(src), rows)
+
+    out = tmp_path / "out"
+    s = web_pipeline([str(src)], out, quality_min=0.5, near_dedup=True,
+                     threshold=0.9, verify=True)
+    assert s["stages"]["extract"]["rows"] == 5
+    # 1,2 identical extracted text (exact dedup); 3 near-dups the winner;
+    # 4 gated; 5 distinct -> 2 survivors
+    assert s["stages"]["curate"]["rows"] == 2
+    assert s["stages"]["encode"]["rows"] == 2
+    assert s["stages"]["verify"]["ok"] is True
+    # 2 tiny rows expand (per-chunk metadata dominates); compression at
+    # scale is pinned by test_pipeline.py::test_compressed_size_beats_reference
+    assert s["stages"]["encode"]["ratio"] > 0
+
+    cur = pq.read_table(sorted((out / "curated").glob("*.parquet"))).to_pandas()
+    assert sorted(cur.columns) == ["doc_id", "lang_pred", "quality", "text"]
+    # the A-component representative is whichever of {A,B} hashes lower;
+    # C always survives alone
+    texts = set(cur["text"])
+    assert C in texts and len(texts & {A, B}) == 1
+
+    # extracted text is byte-identical per url across a fresh run — the
+    # input contract's per-row invariant
+    ext1 = pq.read_table(sorted((out / "extracted").glob("*.parquet"))
+                         ).to_pandas().set_index("url")["text"]
+    s2 = web_pipeline([str(src)], tmp_path / "out2", quality_min=0.5)
+    ext2 = pq.read_table(sorted((tmp_path / "out2" / "extracted")
+                                .glob("*.parquet"))
+                         ).to_pandas().set_index("url")["text"]
+    pd.testing.assert_series_equal(ext1.sort_index(), ext2.sort_index())
+    assert s2["stages"]["curate"]["rows"] == 3  # no near-dedup: B stays
+
+
+def test_curate_near_no_pairs(ray_session, tmp_path):
+    """The no-duplicates case: connected_components on an empty pair list
+    returns a typed empty result and the endgame keeps every survivor."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.curate import curate_documents_near
+    from nem_mms_ray.ops.dedup import connected_components
+
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64()),
+                                    "jaccard": pa.array([], pa.float64())}))
+    cc = connected_components(empty)
+    assert cc.count() == 0
+    assert set(cc.schema().names) == {"id", "component"}
+
+    texts = [" ".join(f"w{d}x{i:03d}" for i in range(120)) for d in range(3)]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": texts})
+    out = curate_documents_near(lambda: rd.from_pandas(df), quality_min=0.5,
+                                threshold=0.9).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]
+
+
+def test_web_pipeline_stage_resume(ray_session, tmp_path):
+    """Re-running with resume=True skips completed stages (checkpoint
+    semantics): the extract stage's second-run wall time reflects a skip
+    and row counts are unchanged."""
+    from nem_mms_ray.pipelines.web import web_pipeline
+
+    src = tmp_path / "web.parquet"
+    _write_webtable(str(src), [
+        {"url": f"http://r/{i}", "html": f"<p>{EN}doc{i}</p>".encode()}
+        for i in range(6)
+    ])
+    out = tmp_path / "out"
+    s1 = web_pipeline([str(src)], out, quality_min=0.5, lang="en")
+    before = {p.name: p.stat().st_mtime_ns
+              for p in (out / "extracted").glob("*.parquet")}
+    s2 = web_pipeline([str(src)], out, quality_min=0.5, lang="en")
+    after = {p.name: p.stat().st_mtime_ns
+             for p in (out / "extracted").glob("*.parquet")}
+    assert before == after  # stage skipped: outputs untouched
+    assert s2["stages"]["extract"]["rows"] == s1["stages"]["extract"]["rows"]
+    assert s2["stages"]["curate"]["rows"] == s1["stages"]["curate"]["rows"]
+
+
+def test_url_ids_stable():
+    from nem_mms_ray.pipelines.web import _url_ids
+
+    a = _url_ids(["http://x", "http://y", None])
+    b = _url_ids(["http://x", "http://y", None])
+    assert a.dtype == np.int64
+    assert (a == b).all()
+    assert len(set(a.tolist())) == 2 + 1 - (1 if a[2] in a[:2] else 0)
+
+
+def test_web_cli(ray_session, tmp_path):
+    """CLI smoke: `python -m nem_mms_ray web` prints the summary JSON."""
+    src = tmp_path / "web.parquet"
+    _write_webtable(str(src), [
+        {"url": f"http://c/{i}", "html": f"<p>{EN}c{i}</p>".encode()}
+        for i in range(4)
+    ])
+    r = subprocess.run(
+        [sys.executable, "-m", "nem_mms_ray", "web", str(src), "-o",
+         str(tmp_path / "o"), "--quality-min", "0.5", "--lang", "en"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["stages"]["encode"]["rows"] == 4
