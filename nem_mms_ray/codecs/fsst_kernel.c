@@ -229,6 +229,19 @@ long fsst_encode(const uint8_t *sym_bytes, const uint8_t *sym_lens, int n_sym,
     long iA = 0, oA = 0, iB = split, oB = 0;
     uint8_t *outB = out + n;    /* lane B worst case 2*(n-split) <= n+1 */
     long fastA = split - 8, fastB = n - 8;
+    /* 2x-unrolled interleave: two steps per lane per iteration halves the
+     * loop-condition overhead and gives the OoO core four independent
+     * chains in flight (A/B measured r4: +2-17% over the plain pair on
+     * every sample; output bytes identical — same lanes, same order).
+     * The extra -8 guard keeps both unrolled steps inside the fast
+     * region; a 4-lane split was also tried and measured SLOWER (four
+     * output streams thrash L1 against the 128 KB short-code table). */
+    while (iA <= fastA - 8 && iB <= fastB - 8) {
+        enc_step(&t, in, &iA, out, &oA);
+        enc_step(&t, in, &iB, outB, &oB);
+        enc_step(&t, in, &iA, out, &oA);
+        enc_step(&t, in, &iB, outB, &oB);
+    }
     while (iA <= fastA && iB <= fastB) {
         enc_step(&t, in, &iA, out, &oA);
         enc_step(&t, in, &iB, outB, &oB);
