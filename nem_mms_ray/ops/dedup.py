@@ -976,6 +976,36 @@ def connected_components(pairs, max_iters: int = 25,
         nxt = merged.map_batches(take_min, batch_format="pyarrow").materialize()
         n_changed = int(nxt.sum("chg") or 0)
         labels = nxt.select_columns(["id", "label"]).materialize()
+
+        # pointer jumping (label doubling): label[v] <- label[label[v]].
+        # Edge propagation alone moves the minimum ONE hop per round, so a
+        # chain-shaped pair graph — exactly what the minhash chain-to-min
+        # skew guard emits for a mega-cluster — needs O(cluster size)
+        # rounds (observed: 120k-doc webtable, 25 rounds, no fixpoint).
+        # Jumping halves every chain's depth per round, making the loop
+        # O(log diameter): 25 rounds covers diameter 2^25.  label[label[v]]
+        # is in v's component and <= label[v]'s own bound, so the invariant
+        # (label = some component member's id, non-increasing) holds.
+        as_parent = labels.map_batches(
+            lambda t: pa.table({"label": t.column("id"),
+                                "parent": t.column("label")}),
+            batch_format="pyarrow")
+        jumped = labels.join(as_parent, join_type="left_outer",
+                             num_partitions=num_partitions, on=("label",))
+
+        def jump_min(t: pa.Table) -> pa.Table:
+            lab = t.column("label").combine_chunks().cast(pa.int64())
+            par = pa.compute.fill_null(
+                t.column("parent").combine_chunks().cast(pa.int64()),
+                np.iinfo(np.int64).max)
+            new = pa.compute.min_element_wise(lab, par)
+            chg = pa.compute.not_equal(new, lab).cast(pa.int64())
+            return pa.table({"id": t.column("id").cast(pa.int64()),
+                             "label": new, "chg": chg})
+
+        jnxt = jumped.map_batches(jump_min, batch_format="pyarrow").materialize()
+        n_changed += int(jnxt.sum("chg") or 0)
+        labels = jnxt.select_columns(["id", "label"]).materialize()
         if n_changed == 0:
             break
     else:
