@@ -1203,3 +1203,28 @@ def test_curate_documents_near(ray_session):
     assert list(out["doc_id"]) == [0, 2]
     assert list(out.columns) == ["doc_id", "text", "lang_pred", "quality"]
     assert out.set_index("doc_id").loc[0, "text"] == en
+
+
+def test_connected_components_local_matches_distributed(ray_session):
+    """The small-graph union-find shortcut and the distributed
+    pointer-jumping path produce identical (id, component) labelings on a
+    mixed graph (chain + triangle + isolated pair)."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import connected_components
+
+    pairs = pd.DataFrame({
+        "a": np.array([1, 2, 3, 10, 11, 10, 50, 7, 6, 5], np.int64),
+        "b": np.array([2, 3, 4, 11, 12, 12, 51, 6, 5, 1], np.int64),
+        "jaccard": np.ones(10),
+    })
+    loc = (connected_components(rd.from_pandas(pairs))
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    dist = (connected_components(rd.from_pandas(pairs), max_local_edges=0)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(loc, dist)
+    # chain 1-2-3-4 merges with 5-6-7 via (5,1): component 1 for all
+    m = dict(zip(loc["id"], loc["component"]))
+    assert {m[i] for i in (1, 2, 3, 4, 5, 6, 7)} == {1}
+    assert {m[i] for i in (10, 11, 12)} == {10}
+    assert m[50] == 50 and m[51] == 50
