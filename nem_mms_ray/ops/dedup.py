@@ -390,6 +390,48 @@ def _minhash_raw_pairs(ds, num_perm: int, bands: int, ngram: int, n_buckets: int
     )
 
 
+def bucketed_pair_agg(pairs, pd_agg, n_buckets: int = 64,
+                      pre_combine: bool = True):
+    """Aggregate rows sharing an (a, b) pair key via ONE coarse-bucket
+    shuffle + a vectorized pandas aggregation per bucket.
+
+    Ray Data's hash groupby degrades when the number of DISTINCT keys is
+    large: groupby(["a","b"]).aggregate(Count) over 5.7M candidate rows /
+    2.37M distinct pairs measured 605s (r4 flagship profile) where this
+    shape — hash(a,b) %% n_buckets, then pandas inside each of the
+    n_buckets groups — runs the identical aggregation in seconds.  All
+    rows of one pair land in one bucket, so per-pair results are exact,
+    and the bucket count bounds Ray group count at any candidate scale
+    (the repo's standard coarse-bucket pattern).
+
+    `pd_agg` must be a CLOSED aggregation over same-named columns
+    (distinct / min / max / sum compose with themselves): with
+    `pre_combine` it also runs per input batch as a combiner before the
+    shuffle, cutting exchange volume — exactly the class of aggregations
+    used by the dedup candidate paths.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if pre_combine and t.num_rows:
+            t = pa.Table.from_pandas(pd_agg(t.to_pandas()),
+                                     preserve_index=False)
+        a = np.asarray(t.column("a"), np.int64).astype(np.uint64)
+        b = np.asarray(t.column("b"), np.int64).astype(np.uint64)
+        h = ((a * _GOLD + b) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("pbucket", pa.array(h))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd_agg(g.drop(columns=["pbucket"]))
+
+    return (pairs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("pbucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+
+
+def _pd_distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+
 def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
                             ngram: int = 3, concurrency: int | None = None,
                             n_buckets: int = 128):
@@ -399,10 +441,8 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
     bands) — the scale path when the candidate set itself is large.
     `minhash_dedup` instead dedupes driver-side on the (small) collected
     candidate set, saving this shuffle."""
-    from ray.data.aggregate import Count
-
     pairs = _minhash_raw_pairs(ds, num_perm, bands, ngram, n_buckets)
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands")).select_columns(["a", "b"])
+    return bucketed_pair_agg(pairs, _pd_distinct_pairs)
 
 
 def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
@@ -481,8 +521,6 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
     literal gram strings."""
     import functools
 
-    from ray.data.aggregate import Max, Sum
-
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         sets = _batch_word_ngrams(batch.column(text_col).to_pylist(), ngram)
@@ -501,15 +539,16 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
         .map_groups(functools.partial(_gram_pairs_in_bucket, id_col=id_col,
                                       max_gram_df=max_gram_df),
                     batch_format="pandas")
-        .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="inter"),
-                                       Max("na", alias_name="na"),
-                                       Max("nb", alias_name="nb"))
     )
+    inter = bucketed_pair_agg(
+        inter,
+        lambda g: g.groupby(["a", "b"], as_index=False)
+                   .agg({"cnt": "sum", "na": "max", "nb": "max"}))
 
     def score(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("a"), dtype=np.int64)
         b = np.asarray(batch.column("b"), dtype=np.int64)
-        i = np.asarray(batch.column("inter"), dtype=np.int64)
+        i = np.asarray(batch.column("cnt"), dtype=np.int64)
         na = np.asarray(batch.column("na"), dtype=np.int64)
         nb = np.asarray(batch.column("nb"), dtype=np.int64)
         j = i / (na + nb - i)
@@ -571,10 +610,7 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
 
     raw = _minhash_raw_pairs(ds, num_perm, bands, ngram, n_buckets=128).materialize()
     if raw.count() > max_broadcast_pairs:
-        from ray.data.aggregate import Count
-
-        cand = (raw.groupby(["a", "b"]).aggregate(Count(alias_name="nb"))
-                .select_columns(["a", "b"]))
+        cand = bucketed_pair_agg(raw, _pd_distinct_pairs)
         payloads = ds.map_batches(
             functools.partial(_shingle_blobs, ngram=ngram,
                               id_col="doc_id", text_col="text"),
@@ -740,9 +776,9 @@ def simhash_near_pairs(ds, max_hamming: int = 3, prefix_bits: int = 16):
     pairs = sig.map_batches(explode, batch_format="pyarrow") \
                .map_batches(add_bucket, batch_format="pyarrow") \
                .groupby("bucket").map_groups(pairs_in_coarse_bucket, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return bucketed_pair_agg(
+        pairs,
+        lambda g: g.groupby(["a", "b"], as_index=False)["hamming"].min())
 
 
 # ---------------------------------------------------------------------------
@@ -794,8 +830,6 @@ def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
     via `pairs_payload_metric` (vector payload moves once per side).
     Deterministic: planes from a fixed seed, cached per worker.
     """
-    from ray.data.aggregate import Count
-
     from nem_mms_ray.ops.ann import _to_matrix
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -846,10 +880,9 @@ def embedding_near_pairs(ds, threshold: float = 0.95, n_planes: int = 12,
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(cand_in_bucket, batch_format="pandas")
-        # a pair can surface from several tables: distinct before verify
-        .groupby(["a", "b"]).aggregate(Count(alias_name="nt"))
-        .select_columns(["a", "b"])
     )
+    # a pair can surface from several tables: distinct before verify
+    cand = bucketed_pair_agg(cand, _pd_distinct_pairs)
     scored = pairs_payload_metric(
         cand, ds.map_batches(vec_blobs, batch_format="pyarrow"),
         _cosine_blobs, "cosine", n_buckets=verify_buckets)
