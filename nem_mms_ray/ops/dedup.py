@@ -61,145 +61,145 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
 
     pairs: Dataset[(a: int64, b: int64)], a < b, distinct.
     payloads: Dataset[(jid: int64, payload: binary-like)] — one row per id;
-      ids never referenced by a pair shuffle once and are dropped at the
-      first join (a distributed semi-join, no driver id set needed).
+      ids never referenced by a pair are dropped at the first shuffle (a
+      distributed semi-join, no driver id set needed).
     pair_metric(bytes, bytes) -> float, computed once per pair; with
     `carry` set, extra numeric columns of `pairs` ride along and arrive as
     keyword args: pair_metric(bytes, bytes, **{c: float(v)}).
 
-    Shape: two coarse-bucketed all-to-alls — (1) group by hash(jid) to
-    attach each side's payload (payload volume moves once, plus once per
-    extra pair referencing the same id), (2) group by hash(a, b) to bring a
-    pair's two sides together and score.  Coarse buckets (`n_buckets`) keep
-    Ray group count flat regardless of key cardinality.
+    Shape — two coarse-bucketed all-to-alls, PAYLOAD-DEDUPLICATED (r4):
+      (1) group by hash(jid): each payload meets the DISTINCT set of score
+          buckets (hash(a,b) %% n_buckets) whose pairs reference it and is
+          emitted ONCE PER (id, score bucket) — never once per pair.  A
+          mega-duplicate id referenced by M pairs therefore ships at most
+          min(M, n_buckets) payload copies instead of M (the r4 flagship
+          profile measured 2.37M pairs x ~1.6 KB blob = GBs of duplicated
+          payload under the old per-pair-row attach).
+      (2) group by hash(a, b): pair rows (bare ints + carry) meet the
+          deduplicated payloads; a per-bucket dict serves both sides of
+          every pair.  Coarse buckets keep Ray group count flat at any
+          candidate cardinality.
 
-    Known skew bound: an id referenced by M pairs puts M rows in its attach
-    bucket (the scoring shuffle re-spreads by hash(a, b)).  Candidate
-    generation's chain-to-min guard keeps M linear in that id's duplicate
-    count, so the attach task's memory is O(duplicates x ~50 B) + its own
-    payload — cap the duplicate-set size upstream (exact-dedup first) if a
-    single boilerplate page can dominate a corpus.  Attach tasks hold only
-    the payloads their bucket's pairs reference (never-referenced ids are
-    filtered before the dict is built), so per-task memory scales with
-    candidate density, not corpus_payload / n_buckets; raise `n_buckets`
-    when referenced-payload volume per bucket approaches worker heap.
+    Skew bound: a score bucket holds the payloads its own pairs reference
+    (~uniform under the golden-ratio hash) plus pairs/n_buckets pair rows;
+    raise `n_buckets` when referenced-payload volume per bucket approaches
+    worker heap.  An id's attach-side fan-out is its DISTINCT bucket
+    count (<= n_buckets), so hot ids no longer concentrate memory.
     """
-    PAYLOAD_SCHEMA = pa.schema(
-        [("jid", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
-         ("side", pa.int8()), ("payload", pa.large_binary()),
-         ("bucket", pa.int32())]
-        + [(c, pa.float64()) for c in carry])
+    REF_SCHEMA = pa.schema([("jid", pa.int64()), ("bucket2", pa.int32()),
+                            ("payload", pa.large_binary()),
+                            ("bucket", pa.int32())])
 
-    def explode_pairs(t: pa.Table) -> pa.Table:
+    def _b2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return ((a.astype(np.uint64) * _GOLD + b.astype(np.uint64))
+                % np.uint64(n_buckets)).astype(np.int32)
+
+    def explode_refs(t: pa.Table) -> pa.Table:
+        # (jid, bucket2) per pair side, deduped per batch: what the attach
+        # shuffle routes — bare ints, no payloads
         a = np.asarray(t.column("a"), np.int64)
         b = np.asarray(t.column("b"), np.int64)
+        b2 = _b2(a, b)
         jid = np.concatenate([a, b])
-        cols = {
+        bb = np.concatenate([b2, b2])
+        u = np.unique(np.stack([jid, bb.astype(np.int64)], axis=1), axis=0)
+        jid, bb = u[:, 0], u[:, 1].astype(np.int32)
+        return pa.table({
             "jid": pa.array(jid),
-            "a": pa.array(np.concatenate([a, a])),
-            "b": pa.array(np.concatenate([b, b])),
-            "side": pa.array(np.concatenate([np.zeros(len(a), np.int8),
-                                             np.ones(len(b), np.int8)])),
-            "payload": pa.nulls(2 * len(a), pa.large_binary()),
+            "bucket2": pa.array(bb),
+            "payload": pa.nulls(len(jid), pa.large_binary()),
             "bucket": pa.array(((jid.astype(np.uint64) * _GOLD)
                                 % np.uint64(n_buckets)).astype(np.int32)),
-        }
-        for c in carry:
-            v = np.asarray(t.column(c), np.float64)
-            cols[c] = pa.array(np.concatenate([v, v]))
-        return pa.table(cols, schema=PAYLOAD_SCHEMA)
+        }, schema=REF_SCHEMA)
 
     def tag_payloads(t: pa.Table) -> pa.Table:
         jid = np.asarray(t.column("jid"), np.int64)
-        z = np.zeros(len(jid), np.int64)
-        cols = {
-            "jid": pa.array(jid), "a": pa.array(z), "b": pa.array(z),
-            "side": pa.array(np.full(len(jid), -1, np.int8)),
+        return pa.table({
+            "jid": pa.array(jid),
+            "bucket2": pa.array(np.full(len(jid), -1, np.int32)),
             "payload": t.column("payload").cast(pa.large_binary()),
             "bucket": pa.array(((jid.astype(np.uint64) * _GOLD)
                                 % np.uint64(n_buckets)).astype(np.int32)),
+        }, schema=REF_SCHEMA)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # one output payload row per DISTINCT (jid, score bucket)
+        pay = g[g["bucket2"] < 0]
+        refs = g[g["bucket2"] >= 0].drop_duplicates(["jid", "bucket2"])
+        m = refs.merge(pay[["jid", "payload"]], on="jid", how="inner",
+                       suffixes=("", "_p"))
+        return pd.DataFrame({
+            "jid": m["jid"].to_numpy(np.int64),
+            "bucket2": m["bucket2"].to_numpy(np.int32),
+            "payload": m["payload_p"]
+                       if "payload_p" in m.columns else m["payload"],
+        })
+
+    PAIR_SCHEMA = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jid", pa.int64()),
+         ("payload", pa.large_binary()), ("is_pair", pa.int8()),
+         ("bucket2", pa.int32())]
+        + [(c, pa.float64()) for c in carry])
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), np.int64)
+        b = np.asarray(t.column("b"), np.int64)
+        cols = {
+            "a": pa.array(a), "b": pa.array(b),
+            "jid": pa.array(np.zeros(len(a), np.int64)),
+            "payload": pa.nulls(len(a), pa.large_binary()),
+            "is_pair": pa.array(np.ones(len(a), np.int8)),
+            "bucket2": pa.array(_b2(a, b)),
+        }
+        for c in carry:
+            cols[c] = pa.array(np.asarray(t.column(c), np.float64))
+        return pa.table(cols, schema=PAIR_SCHEMA)
+
+    def payload_rows(t: pa.Table) -> pa.Table:
+        jid = np.asarray(t.column("jid"), np.int64)
+        z = np.zeros(len(jid), np.int64)
+        cols = {
+            "a": pa.array(z), "b": pa.array(z),
+            "jid": pa.array(jid),
+            "payload": t.column("payload").cast(pa.large_binary()),
+            "is_pair": pa.array(np.zeros(len(jid), np.int8)),
+            "bucket2": t.column("bucket2").cast(pa.int32()),
         }
         for c in carry:
             cols[c] = pa.array(np.zeros(len(jid), np.float64))
-        return pa.table(cols, schema=PAYLOAD_SCHEMA)
+        return pa.table(cols, schema=PAIR_SCHEMA)
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        pay = g[g["side"] < 0]
-        pr = g[g["side"] >= 0]
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        pay = g[g["is_pair"] == 0]
+        pr = g[g["is_pair"] == 1]
         if len(pr) == 0:
-            empty = {"a": pd.Series([], dtype="int64"),
-                     "b": pd.Series([], dtype="int64"),
-                     "side": pd.Series([], dtype="int8"),
-                     "payload": pd.Series([], dtype=object),
-                     "bucket2": pd.Series([], dtype="int32")}
-            for c in carry:
-                empty[c] = pd.Series([], dtype="float64")
-            return pd.DataFrame(empty)
-        # only payloads some pair in this bucket references enter the dict —
-        # never-referenced ids (the common case: most of a corpus is not a
-        # duplicate candidate) are dropped before materializing pmap, so the
-        # attach task holds O(referenced payloads), not payload_volume /
-        # n_buckets (ADVICE r2)
-        pay = pay[pay["jid"].isin(pr["jid"].unique())]
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 metric_name: pd.Series([], dtype="float64")})
         pmap = dict(zip(pay["jid"].to_numpy(np.int64), pay["payload"]))
         a = pr["a"].to_numpy(np.int64)
         b = pr["b"].to_numpy(np.int64)
-        b2 = ((a.astype(np.uint64) * _GOLD + b.astype(np.uint64))
-              % np.uint64(n_buckets)).astype(np.int32)
-        out = {
-            "a": a, "b": b, "side": pr["side"].to_numpy(np.int8),
-            "payload": [pmap.get(j, b"") for j in pr["jid"].to_numpy(np.int64)],
-            "bucket2": b2,
-        }
-        for c in carry:
-            out[c] = pr[c].to_numpy(np.float64)
-        return pd.DataFrame(out)
+        if carry:
+            carries = [pr[c].to_numpy(np.float64) for c in carry]
+            m = [pair_metric(pmap.get(x, b"") or b"", pmap.get(y, b"") or b"",
+                             **{c: float(v[i]) for c, v in zip(carry, carries)})
+                 for i, (x, y) in enumerate(zip(a, b))]
+        else:
+            m = [pair_metric(pmap.get(x, b"") or b"", pmap.get(y, b"") or b"")
+                 for x, y in zip(a, b)]
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64"),
+                             metric_name: pd.Series(m, dtype="float64")})
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        # pairs are distinct and attach emits exactly one row per side, so
-        # after a sort the two sides of a pair are ADJACENT — positional
-        # pairing replaces a per-pair pandas groupby loop (which cost more
-        # than the metric itself at 2.37M pairs).  The metric call is the
-        # one irreducible per-pair Python step.
-        g = g.sort_values(["a", "b", "side"], kind="stable")
-        a = g["a"].to_numpy(np.int64)
-        b = g["b"].to_numpy(np.int64)
-        if (len(a) % 2 == 0 and np.array_equal(a[0::2], a[1::2])
-                and np.array_equal(b[0::2], b[1::2])):
-            a0 = a[0::2]
-            b0 = b[0::2]
-            pays = g["payload"].to_numpy(object)
-            p0, p1 = pays[0::2], pays[1::2]
-            kws = [{c: float(v) for c, v in zip(carry, vals)}
-                   for vals in zip(*(g[c].to_numpy(np.float64)[0::2]
-                                     for c in carry))] if carry else None
-            m = [pair_metric(x or b"", y or b"", **(kws[i] if kws else {}))
-                 for i, (x, y) in enumerate(zip(p0, p1))]
-            return pd.DataFrame({"a": pd.Series(a0, dtype="int64"),
-                                 "b": pd.Series(b0, dtype="int64"),
-                                 metric_name: pd.Series(m, dtype="float64")})
-        # defensive fallback (should not happen: cand is distinct)
-        rows_a, rows_b, rows_m = [], [], []
-        for (pa_a, pa_b), sub in g.groupby(["a", "b"], sort=False):
-            s0 = sub.loc[sub["side"] == 0, "payload"]
-            s1 = sub.loc[sub["side"] == 1, "payload"]
-            pa_ = s0.iloc[0] if len(s0) else b""
-            pb_ = s1.iloc[0] if len(s1) else b""
-            kw = {c: float(sub[c].iloc[0]) for c in carry}
-            rows_a.append(int(pa_a))
-            rows_b.append(int(pa_b))
-            rows_m.append(pair_metric(pa_ or b"", pb_ or b"", **kw))
-        return pd.DataFrame({"a": pd.Series(rows_a, dtype="int64"),
-                             "b": pd.Series(rows_b, dtype="int64"),
-                             metric_name: pd.Series(rows_m, dtype="float64")})
-
-    joined = (
-        pairs.map_batches(explode_pairs, batch_format="pyarrow")
+    deduped_payloads = (
+        pairs.map_batches(explode_refs, batch_format="pyarrow")
         .union(payloads.map_batches(tag_payloads, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(attach, batch_format="pandas")
     )
-    return joined.groupby("bucket2").map_groups(score, batch_format="pandas")
+    both = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+        deduped_payloads.map_batches(payload_rows, batch_format="pyarrow"))
+    return both.groupby("bucket2").map_groups(score, batch_format="pandas")
 
 
 def _pool(want: int = 4) -> int:
