@@ -54,7 +54,8 @@ def _chain_to_min(u: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
-                         n_buckets: int = 64, carry: tuple = ()):
+                         n_buckets: int = 64, carry: tuple = (),
+                         max_broadcast_payload: int = 256 << 20):
     """Score candidate pairs against per-id binary payloads, fully
     distributed — the scale path when candidates / payloads no longer fit a
     driver-side broadcast (VERDICT r1 items 2-3).
@@ -85,7 +86,71 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     raise `n_buckets` when referenced-payload volume per bucket approaches
     worker heap.  An id's attach-side fan-out is its DISTINCT bucket
     count (<= n_buckets), so hot ids no longer concentrate memory.
+
+    BROADCAST middle regime (r4): when the REFERENCED payloads fit
+    `max_broadcast_payload` bytes, both shuffles are skipped — the
+    referenced-id set (bare ints, driver-side) filters payloads, the
+    filtered dict ships once via ray.put, and scoring is a plain
+    map_batches over the pair stream (pairs UNBOUNDED; only payload
+    volume gates).  The r4 flagship profile measured the two-shuffle
+    path at 180s for 2.37M pairs whose referenced blobs total ~140 MB —
+    the broadcast regime scores the same set in seconds.  At true
+    100-TB candidate density the byte check fails and the two-shuffle
+    path runs unchanged.
     """
+    import ray
+
+    # referenced ids: bare int64 pairs stream to the driver (16 B/pair)
+    ab = [(np.asarray(t.column("a"), np.int64),
+           np.asarray(t.column("b"), np.int64))
+          for t in pairs.select_columns(["a", "b"])
+                        .iter_batches(batch_format="pyarrow", batch_size=65536)]
+    ref_ids = (np.unique(np.concatenate([x for p in ab for x in p]))
+               if ab else np.zeros(0, np.int64))
+    id_ref = ray.put(ref_ids)
+
+    def keep_referenced(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("jid"), np.int64)
+        s = ray.get(id_ref)
+        if not len(s):
+            return t.slice(0, 0)
+        pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
+        return t.filter(pa.array(s[pos] == ids))
+
+    referenced = payloads.map_batches(
+        keep_referenced, batch_format="pyarrow").materialize()
+    blob_bytes = int(referenced.map_batches(
+        lambda t: {"nb": [sum(len(v.as_py() or b"")
+                              for v in t.column("payload"))]},
+        batch_format="pyarrow").sum("nb") or 0)
+    if blob_bytes <= max_broadcast_payload:
+        pdf = referenced.to_pandas()
+        pmap_ref = ray.put(dict(zip(pdf["jid"].to_numpy(np.int64),
+                                    pdf["payload"])))
+
+        def score_broadcast(t: pa.Table) -> pa.Table:
+            pmap = ray.get(pmap_ref)
+            a = np.asarray(t.column("a"), np.int64)
+            b = np.asarray(t.column("b"), np.int64)
+            if carry:
+                carries = [np.asarray(t.column(c), np.float64) for c in carry]
+                m = [pair_metric(pmap.get(x, b"") or b"",
+                                 pmap.get(y, b"") or b"",
+                                 **{c: float(v[i])
+                                    for c, v in zip(carry, carries)})
+                     for i, (x, y) in enumerate(zip(a, b))]
+            else:
+                m = [pair_metric(pmap.get(x, b"") or b"",
+                                 pmap.get(y, b"") or b"")
+                     for x, y in zip(a, b)]
+            return pa.table({"a": pa.array(a), "b": pa.array(b),
+                             metric_name: pa.array(np.asarray(m, np.float64))})
+
+        return pairs.map_batches(score_broadcast, batch_format="pyarrow",
+                                 batch_size=65536)
+    logger.info("pairs_payload_metric: referenced payloads %.0f MB exceed "
+                "broadcast cap — two-shuffle path", blob_bytes / 1e6)
+    payloads = referenced
     REF_SCHEMA = pa.schema([("jid", pa.int64()), ("bucket2", pa.int32()),
                             ("payload", pa.large_binary()),
                             ("bucket", pa.int32())])

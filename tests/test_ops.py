@@ -615,13 +615,17 @@ def test_pairs_payload_metric_randomized(ray_session):
     def metric(x, y, w=0.0):
         return float(len(x) + 2 * len(y) + w)
 
-    out = pairs_payload_metric(pairs_ds, pay_ds, metric, "m",
-                               carry=("w",)).to_pandas()
-    got = {(int(r.a), int(r.b)): r.m for r in out.itertuples()}
     expect = {(a, b): float(len(payload_of.get(a, b"")) +
                             2 * len(payload_of.get(b, b"")) + carry_vals[(a, b)])
               for a, b in pairs}
-    assert got == expect
+    # BOTH regimes must agree with the local reference: payload-broadcast
+    # (default cap) and the two-shuffle path (cap forced to 0)
+    for cap in (256 << 20, 0):
+        out = pairs_payload_metric(pairs_ds, pay_ds, metric, "m",
+                                   carry=("w",),
+                                   max_broadcast_payload=cap).to_pandas()
+        got = {(int(r.a), int(r.b)): r.m for r in out.itertuples()}
+        assert got == expect, f"cap={cap}"
 
 
 def test_curated_text_semijoin_both_paths(ray_session):
