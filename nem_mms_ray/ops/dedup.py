@@ -55,15 +55,20 @@ def _chain_to_min(u: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
 
 def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
                          n_buckets: int = 64, carry: tuple = (),
-                         max_broadcast_payload: int = 256 << 20):
+                         max_broadcast_payload: int = 256 << 20,
+                         max_probe_pairs: int = 4_000_000):
     """Score candidate pairs against per-id binary payloads, fully
     distributed — the scale path when candidates / payloads no longer fit a
     driver-side broadcast (VERDICT r1 items 2-3).
 
-    pairs: Dataset[(a: int64, b: int64)], a < b, distinct.
+    pairs: Dataset[(a: int64, b: int64)], a < b, distinct.  Materialized
+      here once (it is consumed by two branches in every regime; a lazy
+      lineage — e.g. the bucketed_pair_agg shuffle minhash_dedup feeds in —
+      would otherwise re-execute per consumption, ADVICE r4).
     payloads: Dataset[(jid: int64, payload: binary-like)] — one row per id;
-      ids never referenced by a pair are dropped at the first shuffle (a
-      distributed semi-join, no driver id set needed).
+      in the two-shuffle regime, ids never referenced by a pair are dropped
+      by the attach stage's inner merge (a distributed semi-join — nothing
+      pair-sized ever lands on the driver above `max_probe_pairs`).
     pair_metric(bytes, bytes) -> float, computed once per pair; with
     `carry` set, extra numeric columns of `pairs` ride along and arrive as
     keyword args: pair_metric(bytes, bytes, **{c: float(v)}).
@@ -87,26 +92,39 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     worker heap.  An id's attach-side fan-out is its DISTINCT bucket
     count (<= n_buckets), so hot ids no longer concentrate memory.
 
-    BROADCAST middle regime (r4): when the REFERENCED payloads fit
-    `max_broadcast_payload` bytes, both shuffles are skipped — the
-    referenced-id set (bare ints, driver-side) filters payloads, the
-    filtered dict ships once via ray.put, and scoring is a plain
-    map_batches over the pair stream (pairs UNBOUNDED; only payload
-    volume gates).  The r4 flagship profile measured the two-shuffle
-    path at 180s for 2.37M pairs whose referenced blobs total ~140 MB —
-    the broadcast regime scores the same set in seconds.  At true
-    100-TB candidate density the byte check fails and the two-shuffle
-    path runs unchanged.
+    BROADCAST middle regime (r4, gated r5): when the candidate count fits
+    `max_probe_pairs`, a driver-side referenced-id set (bounded at
+    2 x max_probe_pairs int64s, ~64 MB at the default) filters payloads,
+    their total bytes are summed DISTRIBUTED, and if they fit
+    `max_broadcast_payload` both shuffles are skipped — the filtered dict
+    ships once via ray.put and scoring is a plain map_batches over the
+    pair stream.  The r4 flagship profile measured the two-shuffle path
+    at 180s for 2.37M pairs whose referenced blobs total ~140 MB — the
+    broadcast regime scores the same set in seconds.  Above
+    `max_probe_pairs` (the 100-TB candidate regime) the probe is skipped
+    ENTIRELY: no pair ids are ever collected on the driver, and the
+    two-shuffle path runs with the attach-stage semi-join.
     """
     import ray
 
-    # referenced ids: bare int64 pairs stream to the driver (16 B/pair)
-    ab = [(np.asarray(t.column("a"), np.int64),
-           np.asarray(t.column("b"), np.int64))
+    # both regimes consume `pairs` twice — pin the lineage once
+    pairs = pairs.materialize()
+    if pairs.count() > max_probe_pairs:
+        logger.info(
+            "pairs_payload_metric: pair count exceeds max_probe_pairs=%d — "
+            "skipping the broadcast probe; two-shuffle path with attach-side "
+            "semi-join", max_probe_pairs)
+        return _pairs_payload_metric_shuffle(
+            pairs, payloads, pair_metric, metric_name, n_buckets, carry)
+
+    # probe regime: referenced ids (bounded by the gate above) stream to
+    # the driver as per-batch uniques — never raw pair rows
+    ab = [np.unique(np.concatenate([np.asarray(t.column("a"), np.int64),
+                                    np.asarray(t.column("b"), np.int64)]))
           for t in pairs.select_columns(["a", "b"])
-                        .iter_batches(batch_format="pyarrow", batch_size=65536)]
-    ref_ids = (np.unique(np.concatenate([x for p in ab for x in p]))
-               if ab else np.zeros(0, np.int64))
+                        .iter_batches(batch_format="pyarrow", batch_size=65536)
+          if t.num_rows]
+    ref_ids = np.unique(np.concatenate(ab)) if ab else np.zeros(0, np.int64)
     id_ref = ray.put(ref_ids)
 
     def keep_referenced(t: pa.Table) -> pa.Table:
@@ -150,7 +168,17 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
                                  batch_size=65536)
     logger.info("pairs_payload_metric: referenced payloads %.0f MB exceed "
                 "broadcast cap — two-shuffle path", blob_bytes / 1e6)
-    payloads = referenced
+    return _pairs_payload_metric_shuffle(
+        pairs, referenced, pair_metric, metric_name, n_buckets, carry)
+
+
+def _pairs_payload_metric_shuffle(pairs, payloads, pair_metric,
+                                  metric_name: str, n_buckets: int,
+                                  carry: tuple):
+    """The fully-distributed two-shuffle scoring path (see
+    `pairs_payload_metric`).  `payloads` may be unfiltered: the attach
+    stage's inner merge IS the semi-join — unreferenced ids ship once
+    through the first bucket shuffle and are dropped there."""
     REF_SCHEMA = pa.schema([("jid", pa.int64()), ("bucket2", pa.int32()),
                             ("payload", pa.large_binary()),
                             ("bucket", pa.int32())])

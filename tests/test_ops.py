@@ -77,6 +77,33 @@ def test_pairs_payload_metric_joins_payloads(ray_session):
     assert got == {(1, 2): 1.0, (1, 3): 0.0, (2, 9): 0.0}
 
 
+def test_pairs_payload_metric_no_driver_pairs_above_gate(ray_session):
+    """Above max_probe_pairs the candidate pair stream must NEVER be
+    collected on the driver (VERDICT r4 item 1): Dataset.iter_batches is
+    the only driver-side collection point in the function, so with the
+    gate forced to 0 the whole call must complete without it — and still
+    produce the same scores as the probe regime."""
+    from unittest import mock
+
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import pairs_payload_metric
+
+    pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 1, "b": 3}, {"a": 2, "b": 9}])
+    payloads = rd.from_items([
+        {"jid": 1, "payload": b"\x01"}, {"jid": 2, "payload": b"\x01"},
+        {"jid": 3, "payload": b"\x02"}, {"jid": 4, "payload": b"\xff"},
+    ])
+    metric = lambda x, y: float(len(x) > 0 and x == y)
+    with mock.patch.object(
+            rd.Dataset, "iter_batches",
+            side_effect=AssertionError("pair stream collected on the driver")):
+        out = pairs_payload_metric(pairs, payloads, metric, "eq",
+                                   max_probe_pairs=0)
+    got = {(int(r.a), int(r.b)): r.eq for r in out.to_pandas().itertuples()}
+    assert got == {(1, 2): 1.0, (1, 3): 0.0, (2, 9): 0.0}
+
+
 def test_ngram_jaccard_frequent_gram_guard(ray_session):
     """A stop-gram shared by every doc must NOT produce n^2/2 pairs when its
     doc frequency exceeds max_gram_df: only pairs that also share an
