@@ -29,6 +29,7 @@ counts; callers needing zero-loss identity can pre-assign ids.
 from __future__ import annotations
 
 import hashlib
+import json
 import shutil
 import time
 from pathlib import Path
@@ -38,12 +39,63 @@ import pyarrow as pa
 
 
 def _url_ids(urls) -> np.ndarray:
-    """Stable int64 id per url (md5-8le, the ops/invindex scheme)."""
+    """Stable int64 id per url (md5-8le, the ops/invindex scheme).
+
+    A null url raises: identity is md5(url), and silently folding None
+    into md5('') would merge every null-url row into ONE doc in the dedup
+    stage (and cross-merge them with a genuinely-empty url — ADVICE r4).
+    Callers with null-url rows must assign ids upstream or drop the rows.
+    An empty-string url is a real (if odd) value and keeps md5('')."""
     out = np.empty(len(urls), np.uint64)
     for i, u in enumerate(urls):
+        if u is None:
+            raise ValueError(
+                "null url at input row: doc identity is md5(url) — drop "
+                "null-url rows or pre-assign doc ids upstream")
         out[i] = int.from_bytes(
-            hashlib.md5((u or "").encode()).digest()[:8], "little")
+            hashlib.md5(u.encode()).digest()[:8], "little")
     return out.view(np.int64)
+
+
+_STAGE_MARKER = "_STAGE.json"
+
+
+def _stage_complete(stage_dir: Path, plan: dict) -> dict | None:
+    """The stage's marker record iff the directory is a COMPLETE checkpoint
+    of exactly this plan, else None.  write_parquet creates the directory
+    before writing finishes, so bare existence proves nothing (ADVICE r4);
+    the marker is written only after the stage's parquet is fully on disk,
+    and it pins the parameters the checkpoint was built under — resume
+    under a changed plan re-runs (the encode manifest's rule)."""
+    m = stage_dir / _STAGE_MARKER
+    if not m.exists():
+        return None
+    try:
+        rec = json.loads(m.read_text())
+    except (OSError, ValueError):
+        return None
+    return rec if rec.get("plan") == plan else None
+
+
+def _run_stage(stage_dir: Path, plan: dict, write_fn) -> dict:
+    """Crash-atomic stage checkpoint: `write_fn(tmp_path)` writes the
+    stage's parquet into `<stage_dir>.tmp`, the marker (plan + row count
+    from the parquet footers) is stamped inside, then ONE rename publishes
+    the directory.  A crash mid-write leaves only the tmp dir or a
+    markerless final dir, both discarded on the next run."""
+    import pyarrow.parquet as pq
+
+    tmp = stage_dir.parent / (stage_dir.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    write_fn(str(tmp))
+    rows = sum(pq.ParquetFile(p).metadata.num_rows
+               for p in tmp.glob("*.parquet"))
+    rec = {"plan": plan, "rows": int(rows)}
+    (tmp / _STAGE_MARKER).write_text(json.dumps(rec))
+    tmp.rename(stage_dir)
+    return rec
 
 
 def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
@@ -57,8 +109,10 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
     (minhash pairs -> connected components -> representative) on top of
     the exact-dedup gate; `verify` re-decodes the encoded output and
     checks it bit-identical (the reference's round-trip contract).
-    `resume=True` skips stages whose output parquet already exists —
-    stage-level checkpointing on top of encode's per-partition manifest.
+    `resume=True` skips a stage only when its checkpoint carries a
+    completion marker whose recorded parameters match this call's —
+    stage-level, crash-atomic checkpointing (tmp-dir + rename, marker
+    written last) on top of encode's per-partition manifest.
     """
     import ray.data as rd
 
@@ -76,47 +130,75 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
 
     # --- stage 1: extract (pure map; url/warc_ts pass through) ------------
     t0 = time.monotonic()
-    if not (resume and extracted.exists()):
-        shutil.rmtree(extracted, ignore_errors=True)
+    ext_plan = {"stage": "extract",
+                "inputs": sorted(str(p) for p in input_paths)}
+    ext_rec = resume and _stage_complete(extracted, ext_plan)
+    if not ext_rec:
 
-        def add_ids(t: pa.Table) -> pa.Table:
-            ids = _url_ids(t.column("url").to_pylist())
-            return t.append_column("doc_id", pa.array(ids))
+        def write_extract(tmp: str) -> None:
+            def add_ids(t: pa.Table) -> pa.Table:
+                ids = _url_ids(t.column("url").to_pylist())
+                return t.append_column("doc_id", pa.array(ids))
 
-        ext = extract_text(
-            rd.read_parquet([str(p) for p in input_paths],
-                            columns=["url", "warc_ts", "html"]),
-            html_col="html", out_col="text",
-        ).map_batches(add_ids, batch_format="pyarrow")
-        ext.write_parquet(str(extracted))
+            extract_text(
+                rd.read_parquet([str(p) for p in input_paths],
+                                columns=["url", "warc_ts", "html"]),
+                html_col="html", out_col="text",
+            ).map_batches(add_ids, batch_format="pyarrow").write_parquet(tmp)
+
+        ext_rec = _run_stage(extracted, ext_plan, write_extract)
     summary["stages"]["extract"] = {
         "sec": round(time.monotonic() - t0, 3),
-        "rows": rd.read_parquet(str(extracted)).count(),
+        "rows": int(ext_rec["rows"]),
     }
 
     # --- stage 2: curate (gate + dedup [+ near-dedup endgame]) ------------
+    # upstream extract plan+rows pin the lineage: a re-extracted (or
+    # differently-parameterized) input invalidates this checkpoint too
     t0 = time.monotonic()
-    if not (resume and curated.exists()):
-        shutil.rmtree(curated, ignore_errors=True)
+    cur_plan = {"stage": "curate", "quality_min": quality_min, "lang": lang,
+                "near_dedup": near_dedup,
+                "threshold": threshold if near_dedup else None,
+                "upstream": {"plan": ext_plan, "rows": int(ext_rec["rows"])}}
+    cur_rec = resume and _stage_complete(curated, cur_plan)
+    cur_reused = bool(cur_rec)
+    if not cur_rec:
 
-        def src():
-            return rd.read_parquet(str(extracted), columns=["doc_id", "text"])
+        def write_curate(tmp: str) -> None:
+            def src():
+                return rd.read_parquet(str(extracted),
+                                       columns=["doc_id", "text"])
 
-        if near_dedup:
-            cur = curate_documents_near(src, quality_min=quality_min,
-                                        lang=lang, threshold=threshold)
-        else:
-            cur = curate_documents_with_text(src, quality_min=quality_min,
-                                             lang=lang)
-        cur.write_parquet(str(curated))
+            if near_dedup:
+                cur = curate_documents_near(src, quality_min=quality_min,
+                                            lang=lang, threshold=threshold)
+            else:
+                cur = curate_documents_with_text(src, quality_min=quality_min,
+                                                 lang=lang)
+            cur.write_parquet(tmp)
+
+        cur_rec = _run_stage(curated, cur_plan, write_curate)
     summary["stages"]["curate"] = {
         "sec": round(time.monotonic() - t0, 3),
-        "rows": rd.read_parquet(str(curated)).count(),
+        "rows": int(cur_rec["rows"]),
     }
 
     # --- stage 3: encode (per-partition plans, manifest, zone maps) -------
+    # encode owns per-partition resume via its manifest, whose run header
+    # REFUSES a changed plan (the safe standalone behavior).  Inside the
+    # composed pipeline the lineage is known: a rebuilt curate checkpoint
+    # (new parquet uuids) or a changed target_bytes means the old encoded
+    # dir is stale by construction — wipe it and re-encode fresh instead
+    # of surfacing the manifest's refusal to the caller.
     t0 = time.monotonic()
     cur_paths = sorted(str(p) for p in curated.glob("*.parquet"))
+    if not cur_reused:
+        shutil.rmtree(encoded, ignore_errors=True)
+    else:
+        try:
+            Manifest(encoded).check_run_header(cur_paths, target_bytes)
+        except ValueError:
+            shutil.rmtree(encoded, ignore_errors=True)
     encode_files(cur_paths, encoded, target_bytes=target_bytes).to_pandas()
     msum = Manifest(encoded).summary()
     summary["stages"]["encode"] = {
