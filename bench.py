@@ -72,6 +72,11 @@ def ensure_webtable(rows: int) -> Path:
 def run_bench() -> dict:
     import ray
 
+    # capacity probe BEFORE ray.init: the probe forks worker processes,
+    # and forking a process that has held (and torn down) a Ray session
+    # can wedge the children on GCS reconnect.  Probing first also records
+    # the co-tenant load the whole sample ran under.
+    probe = _effective_cores()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
@@ -255,6 +260,10 @@ def run_bench() -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": NUM_CPUS,
+        # the sandbox shares CPUs between tenants: a sample is only
+        # interpretable against BASELINE.md's bands next to the co-tenant
+        # load it ran under (probe ~10+ quiet, <4 heavily loaded)
+        "effective_cores_probe": probe,
         **extras,
     }
 
