@@ -171,22 +171,49 @@ def lookup_postings(index_dir, tokens: list[str], n_shards: int | None = None,
     return rd.read_parquet(paths).map_batches(pick, batch_format="pyarrow")
 
 
-def _index_df_and_candidates(index_dir, want: list[str], id_col: str):
-    """(df map, n_docs, candidate doc-id array) from the persisted index:
-    the pruned-shard read replaces a full-corpus df scan."""
+def _index_df_and_candidates(index_dir, want: list[str], id_col: str,
+                             max_candidate_ids: int = 4_000_000):
+    """(df map, n_docs, candidate doc-id array | None) from the persisted
+    index: the pruned-shard read replaces a full-corpus df scan.
+
+    df is aggregated DISTRIBUTED (per-batch Arrow group-counts, <= |want|
+    rows each, summed on the driver) — the driver never holds posting
+    rows for it.  The candidate doc-id set is collected only when the
+    df total proves it fits `max_candidate_ids` (~8 B/id; 32 MB at the
+    default): a stop-word-frequency token whose postings are O(corpus)
+    returns cand=None and the caller scores the unfiltered scan instead
+    of broadcasting a corpus-sized id set (ADVICE r4)."""
     man = _read_manifest(index_dir)
     if man is None or "n_docs" not in man:
         raise ValueError(f"no usable index manifest under {index_dir}")
-    post = lookup_postings(index_dir, want, id_col=id_col).to_pandas()
-    cmap = post.groupby("token")[id_col].size().to_dict() if len(post) else {}
-    cand = np.unique(post[id_col].to_numpy(np.int64)) if len(post) else \
-        np.zeros(0, np.int64)
+    post = lookup_postings(index_dir, want, id_col=id_col).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        return t.group_by("token").aggregate([("token", "count")])
+
+    agg = post.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    cmap = (agg.groupby("token")["token_count"].sum().astype(int).to_dict()
+            if len(agg) else {})
+    total = int(sum(cmap.values()))
+    if total > max_candidate_ids:
+        logger.info(
+            "tfidf_topk: %d posting rows exceed max_candidate_ids=%d — "
+            "skipping the candidate broadcast; scoring the unfiltered scan",
+            total, max_candidate_ids)
+        return cmap, int(man["n_docs"]), None
+    # bounded by `total` ids: per-batch uniques, one final driver unique
+    parts = [np.unique(np.asarray(t.column(id_col), np.int64))
+             for t in post.select_columns([id_col])
+                          .iter_batches(batch_format="pyarrow",
+                                        batch_size=65536)
+             if t.num_rows]
+    cand = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
     return cmap, int(man["n_docs"]), cand
 
 
 def tfidf_topk(ds, query_tokens: list[str], k: int = 10,
                id_col: str = "doc_id", text_col: str = "text",
-               index_dir=None):
+               index_dir=None, max_candidate_ids: int = 4_000_000):
     """Top-k docs for a token query by TF-IDF: score(d) = sum over query
     tokens t of tf(t, d) * ln(1 + N / df(t)), ties broken by doc id.
 
@@ -216,8 +243,10 @@ def tfidf_topk(ds, query_tokens: list[str], k: int = 10,
 
     cand_ref = None
     if index_dir is not None:
-        cmap, n_docs, cand = _index_df_and_candidates(index_dir, want, id_col)
-        cand_ref = ray.put(pa.array(cand, pa.int64()))
+        cmap, n_docs, cand = _index_df_and_candidates(
+            index_dir, want, id_col, max_candidate_ids=max_candidate_ids)
+        if cand is not None:  # None: postings exceed the broadcast cap
+            cand_ref = ray.put(pa.array(cand, pa.int64()))
     else:
         def df_partial(t: pa.Table) -> pa.Table:
             tok_pos, doc_idx = _query_hits(t.column(text_col), want_arr)

@@ -20,10 +20,27 @@ def tokenize_column(col) -> tuple[pa.Array, np.ndarray]:
     column: the lowercased whitespace tokens of every doc, flattened in
     C, with each token's originating doc position.  Null/empty docs
     contribute no tokens."""
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    low = pc.utf8_lower(col)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    # pyarrow 16.1's utf8_split_whitespace reads one byte PAST the data
+    # buffer when the final string abuts the buffer's exact end (which
+    # utf8_lower's freshly-sized allocation, and Ray's zero-copy object
+    # store buffers, both produce): the last doc's trailing token then
+    # nondeterministically keeps its whitespace ("cat " != "cat"),
+    # silently dropping it from every token match.  Appending a sentinel
+    # doc puts in-buffer bytes after every REAL string; the sentinel's
+    # own (possibly garbage) tokens are dropped by the doc_idx < n mask.
+    n = len(low)
+    padded = pa.concat_arrays([low, pa.array([" "], low.type)])
+    toks = pc.utf8_split_whitespace(padded)
     flat = pc.list_flatten(toks)
     doc_idx = pc.list_parent_indices(toks).to_numpy(
         zero_copy_only=False).astype(np.int64)
+    real = doc_idx < n
+    if not real.all():
+        flat = flat.filter(pa.array(real))
+        doc_idx = doc_idx[real]
     # Arrow's split keeps boundary empties ("a " -> ["a", ""]); Python's
     # str.split() — the semantics every oracle mirrors — drops them
     nonempty = pc.not_equal(flat, "")

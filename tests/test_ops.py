@@ -927,6 +927,30 @@ def test_inverted_index_build_and_pruned_lookup(ray_session, tmp_path):
     assert len(empty) == 0
 
 
+def test_tokenize_column_exact_buffer_boundary():
+    """pyarrow 16.1's utf8_split_whitespace reads past the data buffer
+    when the final string abuts its exact end (utf8_lower's fresh
+    allocation): the trailing token then nondeterministically keeps its
+    whitespace ('cat ' != 'cat').  tokenize_column pads with a sentinel
+    doc; every token must equal the Python-split ground truth across many
+    independently-allocated arrays (pre-fix this failed most runs)."""
+    import pyarrow.compute as pc
+
+    from nem_mms_ray.ops.textkernels import tokenize_column
+
+    for i in range(50):
+        docs = [f"the doc number {i} cat ", f"tail space {i}  "]
+        # route through utf8_lower like the kernel does, forcing a fresh
+        # exactly-sized allocation whose final string touches buffer end
+        arr = pc.utf8_lower(pa.array(docs))
+        flat, di = tokenize_column(arr)
+        got = sorted(zip(flat.to_pylist(), di.tolist()))
+        want = sorted((w, j) for j, d in enumerate(docs)
+                      for w in d.lower().split())
+        assert got == want, (i, got, want)
+        assert all(t == t.strip() and t for t in flat.to_pylist())
+
+
 def test_tfidf_topk_matches_reference(ray_session):
     """TF-IDF top-k equals a straightforward local computation, including
     tf multiplicity and the (score desc, id asc) tie order."""
@@ -1098,6 +1122,37 @@ def test_tfidf_topk_index_path_matches_and_prunes(ray_session, tmp_path):
             shutil.rmtree(p)
     out = tfidf_topk(ds, ["cat", "dog"], k=3, index_dir=idx)
     assert out.equals(base), (out.to_pydict(), base.to_pydict())
+
+
+def test_tfidf_topk_candidate_cap_falls_back(ray_session, tmp_path):
+    """A query token frequent enough that its postings exceed
+    `max_candidate_ids` must NOT be broadcast driver-side: the candidate
+    collection is skipped (cand=None), df still comes from the index, and
+    the unfiltered-scan scoring returns the identical result (ADVICE r4)."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.invindex import (_index_df_and_candidates,
+                                          build_token_index, tfidf_topk)
+
+    # "the" is a deliberate stop-word: present in every doc
+    docs = [f"the doc number {i} " + ("cat " * (i % 3)) for i in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": docs})
+    ds = rd.from_pandas(df).repartition(4)
+    base = tfidf_topk(ds, ["the", "cat"], k=5)
+    idx = tmp_path / "inv"
+    build_token_index(ds, idx, n_shards=8)
+
+    # cap below "the"'s df: the candidate set must be withheld ...
+    cmap, n_docs, cand = _index_df_and_candidates(
+        idx, ["cat", "the"], "doc_id", max_candidate_ids=10)
+    assert cand is None and cmap["the"] == 40 and n_docs == 40
+    # ... and the capped index path still scores exactly the corpus scan
+    out = tfidf_topk(ds, ["the", "cat"], k=5, index_dir=idx,
+                     max_candidate_ids=10)
+    assert out.equals(base), (out.to_pydict(), base.to_pydict())
+    # sanity: an uncapped run broadcasts and also matches
+    out2 = tfidf_topk(ds, ["the", "cat"], k=5, index_dir=idx)
+    assert out2.equals(base)
 
 
 def test_lookup_postings_manifest_guards(ray_session, tmp_path):
