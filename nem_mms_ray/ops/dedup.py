@@ -21,6 +21,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 logger = logging.getLogger(__name__)
 
@@ -562,14 +563,18 @@ def minhash_candidate_pairs(ds, num_perm: int = 128, bands: int = 16,
 
 
 def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
-                          max_gram_df: int | None) -> pd.DataFrame:
+                          max_gram_df: int | None,
+                          emit_stats: bool = False) -> pd.DataFrame:
     """Per-gram doc pairs inside one coarse bucket, with the frequent-gram
     skew guard: a gram shared by > max_gram_df docs is excluded from pair
     generation (a stop-gram shared by M docs would emit M^2/2 pairs — the
     quadratic blow-up VERDICT r2 flagged).  Dropped grams are logged, per
-    the no-silent-caps rule.  Each pair carries both docs' total set sizes
-    (the "sz" column the explode stage stamped on every gram row), so the
-    downstream jaccard needs no second pass over the corpus."""
+    the no-silent-caps rule; with `emit_stats` they ALSO ride the data
+    plane as one sentinel row per bucket (cnt=-1, na=dropped gram count,
+    nb=max doc freq seen) so the caller can aggregate recall loss instead
+    of scraping logs (ADVICE r4).  Each pair carries both docs' total set
+    sizes (the "sz" column the explode stage stamped on every gram row),
+    so the downstream jaccard needs no second pass over the corpus."""
     out_a, out_b, out_na, out_nb = [], [], [], []
     dropped = 0
     max_df_seen = 0
@@ -596,21 +601,28 @@ def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
             "ngram_jaccard: dropped %d frequent gram(s) from pair generation "
             "(doc freq > %d, max seen %d) — jaccard for pairs sharing only "
             "those grams is a lower bound", dropped, max_gram_df, max_df_seen)
+    stats = pd.DataFrame({"a": [0], "b": [0], "cnt": [-1],
+                          "na": [dropped], "nb": [max_df_seen]}
+                         ).astype("int64") if emit_stats and dropped else None
     if not out_a:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "cnt": pd.Series([], dtype="int64"),
-                             "na": pd.Series([], dtype="int64"),
-                             "nb": pd.Series([], dtype="int64")})
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "cnt": pd.Series([], dtype="int64"),
+                              "na": pd.Series([], dtype="int64"),
+                              "nb": pd.Series([], dtype="int64")})
+        return empty if stats is None else stats
     df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b),
                        "na": np.concatenate(out_na), "nb": np.concatenate(out_nb)})
-    return df.groupby(["a", "b"], as_index=False).agg(
+    agg = df.groupby(["a", "b"], as_index=False).agg(
         cnt=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+    return agg if stats is None else pd.concat([agg, stats],
+                                               ignore_index=True)
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_buckets: int = 256, max_gram_df: int | None = None):
+                        n_buckets: int = 256, max_gram_df: int | None = None,
+                        return_dropped_stats: bool = False):
     """EXACT n-gram Jaccard pairs (no LSH): Dataset[(a, b, jaccard)], a < b.
 
     Distributed shape: ONE explode pass emits (doc, gram, bucket, sz) where
@@ -633,8 +645,14 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
     max_gram_df to bound the M^2/2 pair blow-up of residual stop-grams;
     with a cap set, reported jaccard is a lower bound for pairs whose
     shared grams were dropped (dropped grams are logged, never silent).
-    The DuckDB oracle mirrors the uncapped exact semantics over the
-    literal gram strings."""
+    `return_dropped_stats=True` additionally returns (pairs, stats) where
+    stats = {"dropped_grams", "max_gram_df_seen"} aggregated from
+    per-bucket sentinel rows — the recall-loss signal as DATA a pipeline
+    can alert on, not just a log line (ADVICE r4).  It materializes the
+    per-gram intersection stream once (it is consumed by both the stats
+    aggregate and the pair path), so reserve it for capped runs — which
+    are the bounded-pair regime anyway.  The DuckDB oracle mirrors the
+    uncapped exact semantics over the literal gram strings."""
     import functools
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -653,9 +671,22 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(functools.partial(_gram_pairs_in_bucket, id_col=id_col,
-                                      max_gram_df=max_gram_df),
+                                      max_gram_df=max_gram_df,
+                                      emit_stats=return_dropped_stats),
                     batch_format="pandas")
     )
+    stats = None
+    if return_dropped_stats:
+        inter = inter.materialize()
+        srows = inter.map_batches(
+            lambda t: t.filter(pc.less(t.column("cnt"), 0)),
+            batch_format="pyarrow").to_pandas()
+        empty = srows.empty or "na" not in srows  # no drops: schema may vanish
+        stats = {"dropped_grams": 0 if empty else int(srows["na"].sum()),
+                 "max_gram_df_seen": 0 if empty else int(srows["nb"].max())}
+        inter = inter.map_batches(
+            lambda t: t.filter(pc.greater(t.column("cnt"), 0)),
+            batch_format="pyarrow")
     inter = bucketed_pair_agg(
         inter,
         lambda g: g.groupby(["a", "b"], as_index=False)
@@ -672,7 +703,8 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                          "jaccard": pa.array(np.round(j[keep], 6))})
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    scored = inter.map_batches(score, batch_format="pyarrow")
+    return (scored, stats) if return_dropped_stats else scored
 
 
 def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:

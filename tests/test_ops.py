@@ -131,6 +131,35 @@ def test_ngram_jaccard_frequent_gram_guard(ray_session):
     assert got[(17, 250)] >= 0.5
 
 
+def test_ngram_jaccard_dropped_stats_side_output(ray_session):
+    """With return_dropped_stats=True the capped run reports its recall
+    loss as DATA: (pairs, stats) where stats carries the dropped-gram
+    count and the max doc frequency seen — and the pair results are
+    identical to the stats-less capped run (ADVICE r4)."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import ngram_jaccard_pairs
+
+    n = 120
+    texts = [f"of the and u{i}a u{i}b u{i}c u{i}d u{i}e" for i in range(n)]
+    texts[100] = texts[17]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    pairs, stats = ngram_jaccard_pairs(
+        rd.from_pandas(df), threshold=0.2, max_gram_df=50,
+        return_dropped_stats=True)
+    got = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    # the df=120 stop-gram was dropped: exactly one dropped gram, df seen 120
+    assert stats == {"dropped_grams": 1, "max_gram_df_seen": n}
+    base = ngram_jaccard_pairs(
+        rd.from_pandas(df), threshold=0.2, max_gram_df=50
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, base)
+    # uncapped run reports no loss
+    _, s0 = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.2,
+                                return_dropped_stats=True)
+    assert s0 == {"dropped_grams": 0, "max_gram_df_seen": 0}
+
+
 def test_gram_pairs_bucket_guard_warns(caplog):
     """Direct unit test of the in-bucket guard: oversized gram groups are
     skipped with a warning (the no-silent-caps rule), bounded groups pair."""
