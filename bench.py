@@ -115,6 +115,30 @@ def run_bench() -> dict:
 
     ray.get([_warm.remote() for _ in range(NUM_CPUS)])
 
+    # --- composed web flagship (opt-in: NEM_MMS_BENCH_ONLY=web_flagship) --
+    # extract -> gate -> exact dedup -> semi-join -> minhash(0.9) ->
+    # components -> representative -> encode: the end-to-end pipeline the
+    # north star describes, timed as ONE unit for the scaling protocol
+    if "web_flagship" in ONLY:
+        from nem_mms_ray.pipelines.web import web_pipeline
+
+        wf_out = BENCH_OUT / "web_flagship"
+        shutil.rmtree(wf_out, ignore_errors=True)
+        t0 = time.monotonic()
+        s = web_pipeline(web_paths, wf_out, quality_min=0.5, lang="en",
+                         near_dedup=True, threshold=0.9, resume=False)
+        queries["web_flagship"] = round(time.monotonic() - t0, 3)
+        extras["web_stage_sec"] = {k: v["sec"] for k, v in s["stages"].items()}
+        extras["web_curated_rows"] = s["stages"]["curate"]["rows"]
+        extras["web_orig_bytes"] = s["stages"]["encode"]["orig_bytes"]
+        if not (ONLY - {"web_flagship"}):
+            ray.shutdown()
+            shutil.rmtree(BENCH_OUT, ignore_errors=True)
+            total = round(sum(queries.values()), 3)
+            return {"metric": "bench_total_sec", "value": total,
+                    "unit": "sec", "queries": queries, "sf": sf,
+                    "num_cpus": NUM_CPUS, **extras}
+
     # --- flagship: encode the webtable ------------------------------------
     # best-of-N: this sandbox's co-tenant load swings single runs ~6x
     # (BASELINE.md probe); min over fresh runs is the standard estimator
@@ -304,23 +328,33 @@ def _effective_unit(_):
 def run_scaling() -> dict:
     """Same job at two parallelism levels in fresh processes.
 
-    Uses a larger webtable (SCALING_MULT x) so the measured encode is
-    work-dominated rather than fixed-cost-dominated; generation is cached
-    and parallelized via Ray tasks in this parent process.
+    NEM_MMS_SCALING_JOB selects the measured job: "encode" (default, the
+    webtable encode at SCALING_MULT x rows so it is work-dominated) or
+    "web" (the COMPOSED flagship — extract -> near-dedup curate -> encode
+    — at 1x rows; its ~60+ core-seconds are already work-dominated).
+    Generation is cached and parallelized via Ray tasks in this parent
+    process before either level runs.
     """
     import ray
+
+    job = os.environ.get("NEM_MMS_SCALING_JOB", "encode")
+    mult = SCALING_MULT if job == "encode" else int(
+        os.environ.get("NEM_MMS_SCALING_WEB_MULT", "1"))
+    metric_key = "encode_webtable" if job == "encode" else "web_flagship"
+    only = ("encode_webtable,verify_webtable" if job == "encode"
+            else "web_flagship")
 
     sf = _sf_value(SF_DIR)
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
-    ensure_webtable(webtable_rows(sf, SCALING_MULT))  # cache before either run
+    ensure_webtable(webtable_rows(sf, mult))  # cache before either run
     ray.shutdown()
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   NEM_MMS_ROWS_MULT=str(SCALING_MULT),
+                   NEM_MMS_ROWS_MULT=str(mult),
                    NEM_MMS_BENCH_REPS="1",  # the trial loop below is the min
-                   NEM_MMS_BENCH_ONLY="encode_webtable,verify_webtable")
+                   NEM_MMS_BENCH_ONLY=only)
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
             check=True, cwd=str(Path(__file__).parent),
@@ -347,26 +381,32 @@ def run_scaling() -> dict:
     for _ in range(trials):
         runs_lo.append(run(lo))
         runs_hi.append(run(hi))
-    r_lo = min(runs_lo, key=lambda r: r["queries"]["encode_webtable"])
-    r_hi = min(runs_hi, key=lambda r: r["queries"]["encode_webtable"])
-    t_lo = r_lo["queries"]["encode_webtable"]
-    t_hi = r_hi["queries"]["encode_webtable"]
+    r_lo = min(runs_lo, key=lambda r: r["queries"][metric_key])
+    r_hi = min(runs_hi, key=lambda r: r["queries"][metric_key])
+    t_lo = r_lo["queries"][metric_key]
+    t_hi = r_hi["queries"][metric_key]
     eff = (t_lo / t_hi) / (hi / lo)
-    return {
+    bytes_key = ("encode_orig_bytes" if job == "encode"
+                 else "web_orig_bytes")
+    out = {
         "effective_cores_probe": _effective_cores(),
         "metric": "scaling_efficiency",
+        "job": job,
         "value": round(eff, 3),
         "unit": "ratio",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
-        "encode_sec_lo": t_lo,
-        "encode_sec_hi": t_hi,
-        "gbps_lo": round(r_lo["encode_orig_bytes"] / 1e9 / t_lo, 3),
-        "gbps_hi": round(r_hi["encode_orig_bytes"] / 1e9 / t_hi, 3),
+        f"{metric_key}_sec_lo": t_lo,
+        f"{metric_key}_sec_hi": t_hi,
+        "gbps_lo": round(r_lo[bytes_key] / 1e9 / t_lo, 3),
+        "gbps_hi": round(r_hi[bytes_key] / 1e9 / t_hi, 3),
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
         "sf": _sf_value(SF_DIR),
     }
+    if job == "web":
+        out["web_stage_sec_hi"] = r_hi.get("web_stage_sec")
+    return out
 
 
 if __name__ == "__main__":

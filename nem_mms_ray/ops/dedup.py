@@ -54,10 +54,50 @@ def _chain_to_min(u: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def _payload_store(payload_series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 values, int64 byte offsets) for a sequence of bytes
+    payloads — the zero-copy broadcast form (numpy arrays ship through
+    the object store without pickling 100k+ bytes objects) and the input
+    layout of the C set-intersection kernel.  Slot k is
+    flat[off[k]:off[k+1]]; one extra EMPTY slot is appended at the end
+    as the router target for ids with no payload."""
+    blobs = [v if isinstance(v, (bytes, bytearray, memoryview)) else b""
+             for v in payload_series]
+    off = np.zeros(len(blobs) + 2, np.int64)
+    off[1:len(blobs) + 1] = np.cumsum([len(v) for v in blobs])
+    off[len(blobs) + 1] = off[len(blobs)]  # sentinel empty slot
+    flat = np.frombuffer(b"".join(blobs), np.uint8) if blobs else \
+        np.zeros(0, np.uint8)
+    return flat, off
+
+
+def _jaccard_store_batch(flat: np.ndarray, off: np.ndarray,
+                         a_pos: np.ndarray, b_pos: np.ndarray,
+                         min_metric: float = 0.0) -> np.ndarray:
+    """Vectorized Jaccard over a `_payload_store` of serialized uint64
+    shingle sets (`_shingle_blobs` layout): one C merge-intersection call
+    for the whole batch (`ops/setops_kernel.c`), ~0.4us/pair with the
+    min_metric early exit vs ~12us/pair for per-pair np.intersect1d.
+    min_metric > 0: pairs provably below it report an upper bound that
+    still thresholds identically (see intersect_counts); survivors are
+    exact.  Matches `_jaccard_blobs` bit-for-bit above the threshold."""
+    from nem_mms_ray.ops._setops_native import intersect_counts
+
+    vals = flat.view(np.uint64)
+    eoff = off // 8  # byte offsets -> uint64 element offsets
+    inter = intersect_counts(vals, eoff, a_pos, b_pos, min_j=min_metric)
+    na = eoff[a_pos + 1] - eoff[a_pos]
+    nb = eoff[b_pos + 1] - eoff[b_pos]
+    union = na + nb - inter
+    return np.where(na + nb == 0, 1.0,
+                    np.where(union > 0, inter / np.maximum(union, 1), 0.0))
+
+
 def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
                          n_buckets: int = 64, carry: tuple = (),
                          max_broadcast_payload: int = 256 << 20,
-                         max_probe_pairs: int = 4_000_000):
+                         max_probe_pairs: int = 4_000_000,
+                         pair_metric_batch=None, metric_min: float = 0.0):
     """Score candidate pairs against per-id binary payloads, fully
     distributed — the scale path when candidates / payloads no longer fit a
     driver-side broadcast (VERDICT r1 items 2-3).
@@ -73,6 +113,16 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     pair_metric(bytes, bytes) -> float, computed once per pair; with
     `carry` set, extra numeric columns of `pairs` ride along and arrive as
     keyword args: pair_metric(bytes, bytes, **{c: float(v)}).
+
+    pair_metric_batch (optional, ignored when `carry` is set): vectorized
+    twin with signature (flat_u8, byte_offsets, a_pos, b_pos, metric_min)
+    -> float64 scores over a `_payload_store` — scores a whole batch in
+    one call (C kernel for Jaccard: `_jaccard_store_batch`) and lets the
+    broadcast regime ship payloads as a zero-copy numpy triple instead
+    of a pickled dict.  metric_min > 0 permits the metric to report any
+    value strictly below metric_min for pairs provably under it (the
+    early-exit contract); callers thresholding at metric_min see
+    identical survivors with exact scores.
 
     Shape — two coarse-bucketed all-to-alls, PAYLOAD-DEDUPLICATED (r4):
       (1) group by hash(jid): each payload meets the DISTINCT set of score
@@ -116,7 +166,8 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
             "skipping the broadcast probe; two-shuffle path with attach-side "
             "semi-join", max_probe_pairs)
         return _pairs_payload_metric_shuffle(
-            pairs, payloads, pair_metric, metric_name, n_buckets, carry)
+            pairs, payloads, pair_metric, metric_name, n_buckets, carry,
+            pair_metric_batch=pair_metric_batch, metric_min=metric_min)
 
     # probe regime: referenced ids (bounded by the gate above) stream to
     # the driver as per-batch uniques — never raw pair rows
@@ -144,6 +195,36 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
         batch_format="pyarrow").sum("nb") or 0)
     if blob_bytes <= max_broadcast_payload:
         pdf = referenced.to_pandas()
+        if pair_metric_batch is not None and not carry:
+            # vectorized regime: payloads broadcast as a (sorted ids,
+            # flat bytes, offsets) numpy triple — zero-copy through the
+            # object store (a 100k-entry dict of bytes pickles; numpy
+            # plasma buffers don't) — and scored one BATCH per call
+            ids = pdf["jid"].to_numpy(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            flat, off = _payload_store(pdf["payload"].to_numpy()[order])
+            empty_slot = len(ids)  # _payload_store's sentinel empty set
+            store_ref = ray.put((ids, flat, off))
+
+            def positions(sids: np.ndarray, x: np.ndarray) -> np.ndarray:
+                if not len(sids):
+                    return np.full(len(x), empty_slot, np.int64)
+                p = np.clip(np.searchsorted(sids, x), 0, len(sids) - 1)
+                return np.where(sids[p] == x, p, empty_slot).astype(np.int64)
+
+            def score_vec(t: pa.Table) -> pa.Table:
+                sids, flat_, off_ = ray.get(store_ref)
+                a = np.asarray(t.column("a"), np.int64)
+                b = np.asarray(t.column("b"), np.int64)
+                m = pair_metric_batch(flat_, off_, positions(sids, a),
+                                      positions(sids, b), metric_min)
+                return pa.table({"a": pa.array(a), "b": pa.array(b),
+                                 metric_name: pa.array(
+                                     np.asarray(m, np.float64))})
+
+            return pairs.map_batches(score_vec, batch_format="pyarrow",
+                                     batch_size=65536)
         pmap_ref = ray.put(dict(zip(pdf["jid"].to_numpy(np.int64),
                                     pdf["payload"])))
 
@@ -170,16 +251,21 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     logger.info("pairs_payload_metric: referenced payloads %.0f MB exceed "
                 "broadcast cap — two-shuffle path", blob_bytes / 1e6)
     return _pairs_payload_metric_shuffle(
-        pairs, referenced, pair_metric, metric_name, n_buckets, carry)
+        pairs, referenced, pair_metric, metric_name, n_buckets, carry,
+        pair_metric_batch=pair_metric_batch, metric_min=metric_min)
 
 
 def _pairs_payload_metric_shuffle(pairs, payloads, pair_metric,
                                   metric_name: str, n_buckets: int,
-                                  carry: tuple):
+                                  carry: tuple, pair_metric_batch=None,
+                                  metric_min: float = 0.0):
     """The fully-distributed two-shuffle scoring path (see
     `pairs_payload_metric`).  `payloads` may be unfiltered: the attach
     stage's inner merge IS the semi-join — unreferenced ids ship once
-    through the first bucket shuffle and are dropped there."""
+    through the first bucket shuffle and are dropped there.  With
+    `pair_metric_batch`, each score bucket builds its payload store once
+    and scores its pairs in one vectorized call (the same kernel as the
+    broadcast regime, applied per bucket)."""
     REF_SCHEMA = pa.schema([("jid", pa.int64()), ("bucket2", pa.int32()),
                             ("payload", pa.large_binary()),
                             ("bucket", pa.int32())])
@@ -270,9 +356,27 @@ def _pairs_payload_metric_shuffle(pairs, payloads, pair_metric,
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
                                  metric_name: pd.Series([], dtype="float64")})
-        pmap = dict(zip(pay["jid"].to_numpy(np.int64), pay["payload"]))
         a = pr["a"].to_numpy(np.int64)
         b = pr["b"].to_numpy(np.int64)
+        if pair_metric_batch is not None and not carry:
+            ids = pay["jid"].to_numpy(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            flat, off = _payload_store(pay["payload"].to_numpy()[order])
+            empty_slot = len(ids)
+
+            def pos(x: np.ndarray) -> np.ndarray:
+                if not len(ids):
+                    return np.full(len(x), empty_slot, np.int64)
+                p = np.clip(np.searchsorted(ids, x), 0, len(ids) - 1)
+                return np.where(ids[p] == x, p, empty_slot).astype(np.int64)
+
+            m = pair_metric_batch(flat, off, pos(a), pos(b), metric_min)
+            return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                                 "b": pd.Series(b, dtype="int64"),
+                                 metric_name: pd.Series(
+                                     np.asarray(m, np.float64))})
+        pmap = dict(zip(pay["jid"].to_numpy(np.int64), pay["payload"]))
         if carry:
             carries = [pr[c].to_numpy(np.float64) for c in carry]
             m = [pair_metric(pmap.get(x, b"") or b"", pmap.get(y, b"") or b"",
@@ -348,12 +452,46 @@ def _combine_ngrams(hw: np.ndarray, n: int) -> np.ndarray:
     return np.unique(g)
 
 
-def _batch_word_ngrams(texts: list, n: int = 3) -> list[np.ndarray]:
+def _batch_word_ngrams(texts, n: int = 3) -> list[np.ndarray]:
     """Shingle sets for a whole batch with ONE vectorized word-hash call.
 
-    Replaces per-gram blake2b (measured ~2us/gram in Python) with
-    pd.util.hash_array over the flattened word list + a vectorized
-    polynomial combine — same set semantics, ~20x faster."""
+    Accepts an Arrow string column (fast path: C whitespace split +
+    dictionary-encode, so only the VOCABULARY is hashed as Python
+    objects — measured 2.7x over the list path on web text and
+    shingle-identical) or a list of str (legacy).  Word hashes are
+    pd.util.hash_array per distinct word + a vectorized polynomial
+    combine; both paths produce identical sets (the hash is per-value,
+    so hashing each vocab entry once equals hashing every occurrence).
+
+    The sentinel pad before the Arrow split works around the pyarrow
+    16.1 buffer-boundary OOB read (see textkernels.tokenize_column)."""
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        col = pc.fill_null(texts, "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ndocs = len(col)
+        padded = pa.concat_arrays([col, pa.array([" "], col.type)])
+        toks = pc.utf8_split_whitespace(padded)
+        flat = pc.list_flatten(toks)
+        di = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = (pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+                & (di < ndocs))
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            di = di[keep]
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_numpy(zero_copy_only=False)
+        vh = (pd.util.hash_array(vocab, categorize=False).astype(np.uint64)
+              if len(vocab) else np.zeros(0, np.uint64))
+        hflat = vh[codes]
+        counts = np.bincount(di, minlength=ndocs)
+        out, pos = [], 0
+        for c in counts:
+            out.append(_combine_ngrams(hflat[pos:pos + c], n))
+            pos += c
+        return out
     words_per = [(t or "").split() for t in texts]
     flat = [w for ws in words_per for w in ws]
     if flat:
@@ -417,19 +555,29 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_col), dtype=np.int64)
-        texts = batch.column(self.text_col).to_pylist()
-        shingle_sets = _batch_word_ngrams(texts, self.ngram)
+        shingle_sets = _batch_word_ngrams(batch.column(self.text_col),
+                                          self.ngram)
         nb = self.bands
-        # NOTE: per-doc hashing is the fast shape here — shingle sets are
-        # tiny (tens of entries), so each (num_perm, n_shingles) matrix stays
-        # cache-resident; a batch-concatenated matrix + minimum.reduceat was
-        # measured 15x SLOWER (200 MB working set, reduceat overhead)
-        keys = np.empty((len(ids), nb), np.uint64)
-        for i, sh in enumerate(shingle_sets):
-            sig = _minhash(sh, self.a, self.b)
-            keys[i] = (sig.reshape(nb, self.rows_per_band) * self.band_mult).sum(
-                axis=1, dtype=np.uint64
-            )
+        from nem_mms_ray.ops._setops_native import minhash_signatures
+
+        sigs = minhash_signatures(shingle_sets, self.a, self.b)
+        if sigs is not None:
+            # C kernel: whole batch in one call (the 128-perm running-min
+            # array stays in L1; the Mersenne mod replaces the u64 div),
+            # bit-identical to the per-doc numpy path below.  Band keys
+            # then combine fully vectorized over (docs, bands, rows).
+            keys = (sigs.reshape(len(ids), nb, self.rows_per_band)
+                    * self.band_mult).sum(axis=2, dtype=np.uint64)
+        else:
+            # NOTE: per-doc hashing is the fast numpy shape — shingle sets
+            # are small, so each (num_perm, n_shingles) matrix stays
+            # cache-resident; a batch-concatenated matrix + minimum.reduceat
+            # was measured 15x SLOWER (200 MB working set, reduceat overhead)
+            keys = np.empty((len(ids), nb), np.uint64)
+            for i, sh in enumerate(shingle_sets):
+                sig = _minhash(sh, self.a, self.b)
+                keys[i] = (sig.reshape(nb, self.rows_per_band)
+                           * self.band_mult).sum(axis=1, dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, nb), type=pa.int64()),
@@ -657,7 +805,7 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        sets = _batch_word_ngrams(batch.column(text_col).to_pylist(), ngram)
+        sets = _batch_word_ngrams(batch.column(text_col), ngram)
         counts = np.array([len(s) for s in sets], np.int64)
         grams = np.concatenate(sets) if sets else np.zeros(0, np.uint64)
         return pa.table({
@@ -731,7 +879,7 @@ def _shingle_blobs(batch: pa.Table, ngram: int, id_col: str, text_col: str) -> p
     """(jid, payload) rows: each doc's shingle set serialized once."""
     ids = np.asarray(batch.column(id_col), dtype=np.int64)
     blobs = [s.tobytes() for s in
-             _batch_word_ngrams(batch.column(text_col).to_pylist(), ngram)]
+             _batch_word_ngrams(batch.column(text_col), ngram)]
     return pa.table({"jid": pa.array(ids, pa.int64()),
                      "payload": pa.array(blobs, pa.large_binary())})
 
@@ -765,7 +913,9 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
             batch_format="pyarrow",
         )
         scored = pairs_payload_metric(cand, payloads, _jaccard_blobs, "jaccard",
-                                      n_buckets=verify_buckets)
+                                      n_buckets=verify_buckets,
+                                      pair_metric_batch=_jaccard_store_batch,
+                                      metric_min=threshold)
 
         def keep(t: pa.Table) -> pa.Table:
             j = np.asarray(t.column("jaccard"), np.float64)
@@ -793,37 +943,36 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
         """Shingle each candidate doc ONCE (docs recur across many pairs)."""
         all_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         mask = np.isin(all_ids, need)
-        texts = batch.column("text").take(pa.array(np.nonzero(mask)[0])).to_pylist()
+        texts = batch.column("text").take(pa.array(np.nonzero(mask)[0]))
         blobs = [s.tobytes() for s in _batch_word_ngrams(texts, ngram)]
         return pa.table({"doc_id": pa.array(all_ids[mask], pa.int64()),
                          "sh": pa.array(blobs, pa.binary())})
 
     sh_tbl = ds.map_batches(shingles_needed, batch_format="pyarrow").to_pandas()
-    shingles = {
-        int(i): np.frombuffer(b, np.uint64)
-        for i, b in zip(sh_tbl["doc_id"], sh_tbl["sh"])
-    }
-    sh_ref = ray.put(shingles)
+    sids = sh_tbl["doc_id"].to_numpy(np.int64)
+    order = np.argsort(sids)
+    sids = sids[order]
+    sh_flat, sh_off = _payload_store(sh_tbl["sh"].to_numpy()[order])
+    empty_slot = len(sids)
+    sh_ref = ray.put((sids, sh_flat, sh_off))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
-        rows = {"a": [], "b": [], "jaccard": []}
-        empty = np.zeros(0, np.uint64)
-        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            sa, sb = sh.get(int(a), empty), sh.get(int(b), empty)
-            if len(sa) == 0 and len(sb) == 0:
-                j = 1.0
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                j = inter / union if union else 0.0
-            if j >= threshold:
-                rows["a"].append(int(a))
-                rows["b"].append(int(b))
-                rows["jaccard"].append(round(j, 6))
-        return pa.table({"a": pa.array(rows["a"], pa.int64()),
-                         "b": pa.array(rows["b"], pa.int64()),
-                         "jaccard": pa.array(rows["jaccard"], pa.float64())})
+        ids, flat, off = ray.get(sh_ref)
+        a = np.asarray(batch.column("a"), np.int64)
+        b = np.asarray(batch.column("b"), np.int64)
+
+        def pos(x: np.ndarray) -> np.ndarray:
+            if not len(ids):
+                return np.full(len(x), empty_slot, np.int64)
+            p = np.clip(np.searchsorted(ids, x), 0, len(ids) - 1)
+            return np.where(ids[p] == x, p, empty_slot).astype(np.int64)
+
+        j = _jaccard_store_batch(flat, off, pos(a), pos(b),
+                                 min_metric=threshold)
+        keep = j >= threshold
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "jaccard": pa.array(np.round(j[keep], 6))})
 
     import ray.data as rd
 

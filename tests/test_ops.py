@@ -37,6 +37,59 @@ def test_exact_dedup(docs_ds):
     assert 10 in survivors["doc_id"].values
 
 
+def test_setops_kernel_parity():
+    """The C set-intersection and minhash kernels must match their numpy
+    references exactly: counts vs np.intersect1d; the min_j early exit
+    exact at-or-above the threshold and upper-bounded below it; minhash
+    signatures bit-identical to the per-doc numpy path (same wraparound
+    multiply + Mersenne mod); the batch jaccard equal to _jaccard_blobs."""
+    from nem_mms_ray.ops._setops_native import (intersect_counts,
+                                                minhash_signatures)
+    from nem_mms_ray.ops.dedup import (_jaccard_blobs, _jaccard_store_batch,
+                                       _minhash, _minhash_params,
+                                       _payload_store)
+
+    rng = np.random.default_rng(11)
+    sets = [np.unique(rng.integers(0, 400, rng.integers(0, 80))
+                      .astype(np.uint64)) for _ in range(150)]
+    sets[3] = np.zeros(0, np.uint64)  # empty set edge
+    off = np.zeros(len(sets) + 1, np.int64)
+    off[1:] = np.cumsum([len(s) for s in sets])
+    vals = np.concatenate(sets)
+    a = rng.integers(0, 150, 3000).astype(np.int64)
+    b = rng.integers(0, 150, 3000).astype(np.int64)
+    want = np.array([len(np.intersect1d(sets[x], sets[y],
+                                        assume_unique=True))
+                     for x, y in zip(a, b)])
+    assert (intersect_counts(vals, off, a, b) == want).all()
+    na, nb = off[a + 1] - off[a], off[b + 1] - off[b]
+    with np.errstate(invalid="ignore"):
+        j_true = np.where(na + nb == 0, 1.0,
+                          want / np.maximum(na + nb - want, 1))
+    for t in (0.3, 0.8):
+        capped = intersect_counts(vals, off, a, b, min_j=t)
+        hi = j_true >= t
+        assert (capped[hi] == want[hi]).all()  # exact at/above threshold
+        j_cap = np.where(na + nb == 0, 1.0,
+                         capped / np.maximum(na + nb - capped, 1))
+        assert (j_cap[~hi] < t).all()          # bound stays below
+
+    # minhash C kernel: bit parity with the numpy path
+    pa_, pb_ = _minhash_params(64)
+    sigs = minhash_signatures(sets, pa_, pb_)
+    if sigs is not None:  # no compiler -> numpy path is the only path
+        ref = np.stack([_minhash(s, pa_, pb_) for s in sets])
+        assert (sigs == ref).all()
+
+    # batch jaccard over a payload store == per-pair _jaccard_blobs
+    blobs = [s.tobytes() for s in sets]
+    flat, boff = _payload_store(blobs)
+    jb = _jaccard_store_batch(flat, boff, a, b)
+    ref_j = np.array([_jaccard_blobs(blobs[x], blobs[y])
+                      for x, y in zip(a, b)])
+    assert np.allclose(jb, ref_j)
+
+
 def test_minhash_finds_planted_dups(docs_ds):
     from nem_mms_ray.ops.dedup import minhash_dedup
 
