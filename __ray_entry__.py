@@ -117,6 +117,25 @@ def _ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.2)
 
 
+def _ngram_dropped_stats(sf_dir: str):
+    """Recall-loss accounting of the capped n-gram path (ADVICE r4): with
+    max_gram_df=5, the count of grams excluded from pair generation and
+    the max doc frequency seen among them, as DATA (one row) — the side
+    output a pipeline alerts on.  Oracle: the same two aggregates over
+    the literal gram df distribution."""
+    import pyarrow as pa
+
+    from nem_mms_ray.ops.dedup import ngram_jaccard_pairs
+
+    _, stats = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.2,
+        max_gram_df=5, return_dropped_stats=True)
+    return pa.table({
+        "dropped_grams": pa.array([stats["dropped_grams"]], pa.int64()),
+        "max_gram_df_seen": pa.array([stats["max_gram_df_seen"]], pa.int64()),
+    })
+
+
 def _exact_dedup_docs(sf_dir: str):
     from nem_mms_ray.ops.dedup import exact_dedup
 
@@ -875,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs_text": _curate_docs_text,
         "curate_docs_near": _curate_docs_near,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "ngram_dropped_stats": _ngram_dropped_stats,
         "minhash_exact_dups": _minhash_exact_dups,
         "dedup_components_docs": _dedup_components_docs,
         "simhash_near_dups": _simhash_near_dups,
@@ -1480,6 +1500,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = inter.a
             JOIN sz sb ON sb.doc_id = inter.b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+        """,
+        "ngram_dropped_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) = 0 THEN []
+                            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+                       END AS grams
+                FROM w
+            ), g AS (
+                SELECT DISTINCT doc_id, unnest(grams) AS gram FROM t
+            ), df AS (
+                SELECT gram, count(*) AS c FROM g GROUP BY gram
+            )
+            SELECT count(*)::BIGINT AS dropped_grams,
+                   coalesce(max(c), 0)::BIGINT AS max_gram_df_seen
+            FROM df WHERE c > 5
         """,
         "minhash_exact_dups": """
             WITH aug AS (
