@@ -137,7 +137,8 @@ def run_bench() -> dict:
             total = round(sum(queries.values()), 3)
             return {"metric": "bench_total_sec", "value": total,
                     "unit": "sec", "queries": queries, "sf": sf,
-                    "num_cpus": NUM_CPUS, **extras}
+                    "num_cpus": NUM_CPUS,
+                    "effective_cores_probe": probe, **extras}
 
     # --- flagship: encode the webtable ------------------------------------
     # best-of-N: this sandbox's co-tenant load swings single runs ~6x
@@ -174,7 +175,8 @@ def run_bench() -> dict:
         shutil.rmtree(BENCH_OUT, ignore_errors=True)
         total = round(sum(queries.values()), 3)
         return {"metric": "bench_total_sec", "value": total, "unit": "sec",
-                "queries": queries, "sf": sf, "num_cpus": NUM_CPUS, **extras}
+                "queries": queries, "sf": sf, "num_cpus": NUM_CPUS,
+                "effective_cores_probe": probe, **extras}
 
     # --- encode the sf tables (documents + lineitem + events) -------------
     enc2 = BENCH_OUT / "encoded_sf"
