@@ -304,3 +304,29 @@ def test_fsst_null_fast_path_and_sliced():
         dec = c.decode(c.encode(a))
         assert dec.equals(a)
         assert dec.null_count == a.null_count
+
+
+def test_fsst_bucket_overflow_parity():
+    """Seven symbols whose 3-byte prefixes all hash to ONE kernel bucket
+    (hash3 collisions, brute-forced): the AVX2 probe covers only a
+    bucket's 4 longest candidates, so matches on the 5th+ entries must
+    come from the scalar overflow walk.  Byte-parity with the Python
+    reference pins that path; a generic random table never exercises it
+    (253 symbols over 2048 buckets make >4-entry buckets vanishingly
+    rare)."""
+    # all hash to bucket 1900 for hash3(x) = (x * 0x9E3779B1 >> 17) & 2047
+    prefixes = [b"aad", b"aks", b"czl", b"ego", b"gvh", b"ick"]
+    symbols = [b"aadx"] + prefixes  # len-4 first: exercises longest-first
+    rows = np.zeros((len(symbols), 8), np.uint8)
+    lens = np.zeros(len(symbols), np.uint8)
+    for i, s in enumerate(symbols):
+        rows[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    # every symbol appears, including the two that can only match via the
+    # overflow walk (bucket order is longest-first then code order, so the
+    # SoA slots hold aadx,aad,aks,czl and the walk covers ego,gvh,ick)
+    body = b"|".join(symbols) + b" ego gvh ick aadx aad "
+    for data in (body * 40, body * 400):  # single-lane and dual-lane sizes
+        enc_c = native.encode(rows, lens, data)
+        assert enc_c == native._py_encode(rows, lens, data)
+        assert native.decode(rows, lens, enc_c, len(data)) == data
