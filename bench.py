@@ -347,6 +347,11 @@ def run_scaling() -> dict:
             else "web_flagship")
 
     sf = _sf_value(SF_DIR)
+    # capacity probe BEFORE ray.init, for the same fork-after-teardown
+    # reason as run_bench (forking this parent after it has held a Ray
+    # session can wedge the pool children on GCS reconnect); per-level
+    # load is reported from the child trials' own probe fields below.
+    probe = _effective_cores()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     ensure_webtable(webtable_rows(sf, mult))  # cache before either run
@@ -391,7 +396,9 @@ def run_scaling() -> dict:
     bytes_key = ("encode_orig_bytes" if job == "encode"
                  else "web_orig_bytes")
     out = {
-        "effective_cores_probe": _effective_cores(),
+        "effective_cores_probe": probe,
+        "effective_cores_probe_lo": r_lo.get("effective_cores_probe"),
+        "effective_cores_probe_hi": r_hi.get("effective_cores_probe"),
         "metric": "scaling_efficiency",
         "job": job,
         "value": round(eff, 3),

@@ -71,6 +71,17 @@ def _payload_store(payload_series) -> tuple[np.ndarray, np.ndarray]:
     return flat, off
 
 
+def _store_positions(sorted_ids: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Store slot of each id in `x` against a `_payload_store` whose rows
+    are keyed by `sorted_ids` (ascending, distinct); ids absent from the
+    store map to the sentinel EMPTY slot at index len(sorted_ids)."""
+    empty_slot = len(sorted_ids)
+    if not empty_slot:
+        return np.zeros(len(x), np.int64)  # slot 0 IS the sentinel
+    p = np.clip(np.searchsorted(sorted_ids, x), 0, empty_slot - 1)
+    return np.where(sorted_ids[p] == x, p, empty_slot).astype(np.int64)
+
+
 def _jaccard_store_batch(flat: np.ndarray, off: np.ndarray,
                          a_pos: np.ndarray, b_pos: np.ndarray,
                          min_metric: float = 0.0) -> np.ndarray:
@@ -190,8 +201,8 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     referenced = payloads.map_batches(
         keep_referenced, batch_format="pyarrow").materialize()
     blob_bytes = int(referenced.map_batches(
-        lambda t: {"nb": [sum(len(v.as_py() or b"")
-                              for v in t.column("payload"))]},
+        lambda t: {"nb": [int(pc.sum(pc.binary_length(
+            t.column("payload"))).as_py() or 0)]},
         batch_format="pyarrow").sum("nb") or 0)
     if blob_bytes <= max_broadcast_payload:
         pdf = referenced.to_pandas()
@@ -204,21 +215,14 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
             order = np.argsort(ids)
             ids = ids[order]
             flat, off = _payload_store(pdf["payload"].to_numpy()[order])
-            empty_slot = len(ids)  # _payload_store's sentinel empty set
             store_ref = ray.put((ids, flat, off))
-
-            def positions(sids: np.ndarray, x: np.ndarray) -> np.ndarray:
-                if not len(sids):
-                    return np.full(len(x), empty_slot, np.int64)
-                p = np.clip(np.searchsorted(sids, x), 0, len(sids) - 1)
-                return np.where(sids[p] == x, p, empty_slot).astype(np.int64)
 
             def score_vec(t: pa.Table) -> pa.Table:
                 sids, flat_, off_ = ray.get(store_ref)
                 a = np.asarray(t.column("a"), np.int64)
                 b = np.asarray(t.column("b"), np.int64)
-                m = pair_metric_batch(flat_, off_, positions(sids, a),
-                                      positions(sids, b), metric_min)
+                m = pair_metric_batch(flat_, off_, _store_positions(sids, a),
+                                      _store_positions(sids, b), metric_min)
                 return pa.table({"a": pa.array(a), "b": pa.array(b),
                                  metric_name: pa.array(
                                      np.asarray(m, np.float64))})
@@ -363,15 +367,8 @@ def _pairs_payload_metric_shuffle(pairs, payloads, pair_metric,
             order = np.argsort(ids)
             ids = ids[order]
             flat, off = _payload_store(pay["payload"].to_numpy()[order])
-            empty_slot = len(ids)
-
-            def pos(x: np.ndarray) -> np.ndarray:
-                if not len(ids):
-                    return np.full(len(x), empty_slot, np.int64)
-                p = np.clip(np.searchsorted(ids, x), 0, len(ids) - 1)
-                return np.where(ids[p] == x, p, empty_slot).astype(np.int64)
-
-            m = pair_metric_batch(flat, off, pos(a), pos(b), metric_min)
+            m = pair_metric_batch(flat, off, _store_positions(ids, a),
+                                  _store_positions(ids, b), metric_min)
             return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
                                  "b": pd.Series(b, dtype="int64"),
                                  metric_name: pd.Series(
@@ -463,23 +460,18 @@ def _batch_word_ngrams(texts, n: int = 3) -> list[np.ndarray]:
     combine; both paths produce identical sets (the hash is per-value,
     so hashing each vocab entry once equals hashing every occurrence).
 
-    The sentinel pad before the Arrow split works around the pyarrow
-    16.1 buffer-boundary OOB read (see textkernels.tokenize_column)."""
+    The Arrow split goes through textkernels.split_whitespace_padded
+    (str.split() semantics + the pyarrow 16.1 buffer-boundary OOB
+    workaround); unlike tokenize_column, no lowercasing — shingles are
+    case-sensitive to match the SQL oracle's string_split(text, ' ')."""
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        from nem_mms_ray.ops.textkernels import split_whitespace_padded
+
         col = pc.fill_null(texts, "")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         ndocs = len(col)
-        padded = pa.concat_arrays([col, pa.array([" "], col.type)])
-        toks = pc.utf8_split_whitespace(padded)
-        flat = pc.list_flatten(toks)
-        di = pc.list_parent_indices(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        keep = (pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-                & (di < ndocs))
-        if not keep.all():
-            flat = flat.filter(pa.array(keep))
-            di = di[keep]
+        flat, di = split_whitespace_padded(col)
         d = pc.dictionary_encode(flat)
         codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = d.dictionary.to_numpy(zero_copy_only=False)
@@ -953,21 +945,14 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     order = np.argsort(sids)
     sids = sids[order]
     sh_flat, sh_off = _payload_store(sh_tbl["sh"].to_numpy()[order])
-    empty_slot = len(sids)
     sh_ref = ray.put((sids, sh_flat, sh_off))
 
     def verify(batch: pa.Table) -> pa.Table:
         ids, flat, off = ray.get(sh_ref)
         a = np.asarray(batch.column("a"), np.int64)
         b = np.asarray(batch.column("b"), np.int64)
-
-        def pos(x: np.ndarray) -> np.ndarray:
-            if not len(ids):
-                return np.full(len(x), empty_slot, np.int64)
-            p = np.clip(np.searchsorted(ids, x), 0, len(ids) - 1)
-            return np.where(ids[p] == x, p, empty_slot).astype(np.int64)
-
-        j = _jaccard_store_batch(flat, off, pos(a), pos(b),
+        j = _jaccard_store_batch(flat, off, _store_positions(ids, a),
+                                 _store_positions(ids, b),
                                  min_metric=threshold)
         keep = j >= threshold
         return pa.table({"a": pa.array(a[keep], pa.int64()),

@@ -15,6 +15,37 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def split_whitespace_padded(col: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace-split a (combined, null-free) string array with Python
+    str.split() semantics: (flat token StringArray, int64 doc index per
+    token).
+
+    pyarrow 16.1's utf8_split_whitespace reads one byte PAST the data
+    buffer when the final string abuts the buffer's exact end (which
+    utf8_lower's freshly-sized allocation, and Ray's zero-copy object
+    store buffers, both produce): the last doc's trailing token then
+    nondeterministically keeps its whitespace ("cat " != "cat"),
+    silently dropping it from every token match.  Appending a sentinel
+    doc puts in-buffer bytes after every REAL string; the sentinel's
+    own (possibly garbage) tokens are dropped by the doc_idx < n mask.
+    Arrow's split also keeps boundary empties ("a " -> ["a", ""]), which
+    Python's str.split() — the semantics every oracle mirrors — drops."""
+    n = len(col)
+    padded = pa.concat_arrays([col, pa.array([" "], col.type)])
+    toks = pc.utf8_split_whitespace(padded)
+    flat = pc.list_flatten(toks)
+    doc_idx = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    keep = (pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            & (doc_idx < n))
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, doc_idx
+
+
 def tokenize_column(col) -> tuple[pa.Array, np.ndarray]:
     """(flat token StringArray, doc_idx int64 array) for an Arrow string
     column: the lowercased whitespace tokens of every doc, flattened in
@@ -23,34 +54,7 @@ def tokenize_column(col) -> tuple[pa.Array, np.ndarray]:
     low = pc.utf8_lower(col)
     if isinstance(low, pa.ChunkedArray):
         low = low.combine_chunks()
-    # pyarrow 16.1's utf8_split_whitespace reads one byte PAST the data
-    # buffer when the final string abuts the buffer's exact end (which
-    # utf8_lower's freshly-sized allocation, and Ray's zero-copy object
-    # store buffers, both produce): the last doc's trailing token then
-    # nondeterministically keeps its whitespace ("cat " != "cat"),
-    # silently dropping it from every token match.  Appending a sentinel
-    # doc puts in-buffer bytes after every REAL string; the sentinel's
-    # own (possibly garbage) tokens are dropped by the doc_idx < n mask.
-    n = len(low)
-    padded = pa.concat_arrays([low, pa.array([" "], low.type)])
-    toks = pc.utf8_split_whitespace(padded)
-    flat = pc.list_flatten(toks)
-    doc_idx = pc.list_parent_indices(toks).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    real = doc_idx < n
-    if not real.all():
-        flat = flat.filter(pa.array(real))
-        doc_idx = doc_idx[real]
-    # Arrow's split keeps boundary empties ("a " -> ["a", ""]); Python's
-    # str.split() — the semantics every oracle mirrors — drops them
-    nonempty = pc.not_equal(flat, "")
-    if not pc.all(nonempty).as_py():
-        keep = nonempty.to_numpy(zero_copy_only=False)
-        flat = flat.filter(nonempty)
-        doc_idx = doc_idx[keep]
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    return flat, doc_idx
+    return split_whitespace_padded(low)
 
 
 def token_value_counts(col) -> tuple[pa.Array, np.ndarray]:

@@ -737,6 +737,48 @@ def test_pairs_payload_metric_randomized(ray_session):
         assert got == expect, f"cap={cap}"
 
 
+def test_pairs_payload_metric_shuffle_vectorized_branch(ray_session):
+    """The two-shuffle regime's VECTORIZED scoring branch (per-bucket
+    payload store + pair_metric_batch) must match the scalar metric —
+    it only triggers past the broadcast caps, which this test forces
+    (max_probe_pairs=0 skips the probe AND the broadcast regime), so
+    without this no test reaches the at-scale branch at all."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.dedup import pairs_payload_metric
+
+    rng = np.random.default_rng(23)
+    n_ids = 90
+    payload_of = {i: bytes(rng.integers(0, 256, rng.integers(0, 7))
+                           .astype(np.uint8)) for i in range(n_ids)}
+    pairs = set()
+    while len(pairs) < 250:
+        a, b = sorted(rng.integers(0, n_ids + 15, 2))  # some ids missing
+        if a != b:
+            pairs.add((int(a), int(b)))
+    pairs = sorted(pairs)
+
+    def metric(x, y):
+        return float(len(x) + 2 * len(y))
+
+    def metric_batch(flat, off, a_pos, b_pos, metric_min):
+        la = off[a_pos + 1] - off[a_pos]
+        lb = off[b_pos + 1] - off[b_pos]
+        return (la + 2 * lb).astype(np.float64)
+
+    expect = {(a, b): metric(payload_of.get(a, b""), payload_of.get(b, b""))
+              for a, b in pairs}
+    pairs_ds = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+    pay_ds = rd.from_items([{"jid": i, "payload": payload_of[i]}
+                            for i in range(n_ids)])
+    out = pairs_payload_metric(pairs_ds, pay_ds, metric, "m",
+                               pair_metric_batch=metric_batch,
+                               n_buckets=7,
+                               max_probe_pairs=0).to_pandas()
+    got = {(int(r.a), int(r.b)): r.m for r in out.itertuples()}
+    assert got == expect
+
+
 def test_curated_text_semijoin_both_paths(ray_session):
     """Broadcast and hash-bucket semi-join return the same curated rows
     (doc_id, text, lang_pred, quality); non-winners never appear."""
