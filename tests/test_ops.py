@@ -737,6 +737,32 @@ def test_pairs_payload_metric_randomized(ray_session):
         assert got == expect, f"cap={cap}"
 
 
+def test_ngram_dropped_stats_matches_duckdb(ray_session):
+    """Oracle-level check for the capped n-gram recall-loss side output,
+    held OUT of the driver's queries() because its report caps at 50 rows
+    (see _ngram_dropped_stats): the Ray stats must equal the same two
+    aggregates computed by DuckDB over the literal trigram df
+    distribution at sf0.001."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __ray_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = entry._ngram_dropped_stats(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.sql(entry.NGRAM_DROPPED_STATS_SQL).df()
+    assert int(got["dropped_grams"][0]) == int(want["dropped_grams"][0])
+    assert (int(got["max_gram_df_seen"][0])
+            == int(want["max_gram_df_seen"][0]))
+    assert int(got["dropped_grams"][0]) > 0  # the cap actually engaged
+
+
 def test_pairs_payload_metric_shuffle_vectorized_branch(ray_session):
     """The two-shuffle regime's VECTORIZED scoring branch (per-bucket
     payload store + pair_metric_batch) must match the scalar metric —
