@@ -131,6 +131,10 @@ def run_bench() -> dict:
         extras["web_stage_sec"] = {k: v["sec"] for k, v in s["stages"].items()}
         extras["web_curated_rows"] = s["stages"]["curate"]["rows"]
         extras["web_orig_bytes"] = s["stages"]["encode"]["orig_bytes"]
+        # throughput base for the scaling report: the pipeline's actual
+        # input (parquet bytes in), not the post-curation text bytes
+        extras["web_input_bytes"] = sum(
+            Path(p).stat().st_size for p in web_paths)
         if not (ONLY - {"web_flagship"}):
             ray.shutdown()
             shutil.rmtree(BENCH_OUT, ignore_errors=True)
@@ -394,7 +398,7 @@ def run_scaling() -> dict:
     t_hi = r_hi["queries"][metric_key]
     eff = (t_lo / t_hi) / (hi / lo)
     bytes_key = ("encode_orig_bytes" if job == "encode"
-                 else "web_orig_bytes")
+                 else "web_input_bytes")  # flagship: parquet-input GB/s
     out = {
         "effective_cores_probe": probe,
         "effective_cores_probe_lo": r_lo.get("effective_cores_probe"),
