@@ -132,7 +132,9 @@ def run_bench() -> dict:
         extras["web_curated_rows"] = s["stages"]["curate"]["rows"]
         extras["web_orig_bytes"] = s["stages"]["encode"]["orig_bytes"]
         # throughput base for the scaling report: the pipeline's actual
-        # input (parquet bytes in), not the post-curation text bytes
+        # input (parquet bytes in), not the post-curation text bytes —
+        # same sum as reference_parquet_bytes below (flagship-only runs
+        # return before that block computes it)
         extras["web_input_bytes"] = sum(
             Path(p).stat().st_size for p in web_paths)
         if not (ONLY - {"web_flagship"}):

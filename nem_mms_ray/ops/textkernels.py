@@ -16,9 +16,11 @@ import pyarrow.compute as pc
 
 
 def split_whitespace_padded(col: pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """Whitespace-split a (combined, null-free) string array with Python
-    str.split() semantics: (flat token StringArray, int64 doc index per
-    token).
+    """Whitespace-split a (combined, non-chunked) string array with
+    Python str.split() semantics: (flat token StringArray, int64 doc
+    index per token).  Null docs are fine — a null splits to a null
+    list, which list_flatten/list_parent_indices skip, so they simply
+    contribute no tokens.
 
     pyarrow 16.1's utf8_split_whitespace reads one byte PAST the data
     buffer when the final string abuts the buffer's exact end (which

@@ -742,7 +742,13 @@ def test_ngram_dropped_stats_matches_duckdb(ray_session):
     held OUT of the driver's queries() because its report caps at 50 rows
     (see _ngram_dropped_stats): the Ray stats must equal the same two
     aggregates computed by DuckDB over the literal trigram df
-    distribution at sf0.001."""
+    distribution at sf0.001.
+
+    Shared caveat of every token oracle in __ray_entry__ (all use
+    regexp_split_to_array(text, '\\s+')): DuckDB's RE2 \\s is
+    ASCII-only while Arrow's utf8_split_whitespace is Unicode-aware,
+    so the comparison assumes ASCII whitespace — which the
+    deterministic testdata generator guarantees."""
     import sys
     from pathlib import Path
 
