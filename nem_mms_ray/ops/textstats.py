@@ -21,6 +21,165 @@ _PUNCT = r"[.,!?;:]"
 _PUNCT_RE = re.compile(_PUNCT)
 _WS_RE = re.compile(r"\s+")
 
+# ---------------------------------------------------------------------------
+# Vectorized fast path (r5): LUT scans over the Arrow utf8 buffer
+#
+# The scalar formulas below tokenize with Python regexes per doc — ~0.4 ms
+# per web-scale doc, which made LangId the single hottest function of the
+# flagship's gate stage (18.3 s/50k docs single-core, 56% of the label
+# pass).  Instead, each formula runs as a few numpy passes over the
+# column's raw utf8 buffer (zero-copy):
+#   - token_stats works at the BYTE level — a maximal run of
+#     non-whitespace bytes equals a run of non-whitespace codepoints
+#     because UTF-8 continuation bytes are never whitespace; the only
+#     exception is a multibyte whitespace CHARACTER (U+00A0, U+2000..,
+#     U+3000, ...), whose exact utf8 sequences are vector-searched and the
+#     few docs containing one recomputed scalar-side.
+#   - LangId decodes the prefix to a uint32 codepoint array (a handful of
+#     numpy shift/or passes — UTF-8 is self-synchronizing) and classifies
+#     each codepoint against BMP lookup tables derived at import from
+#     Python's own `re` \w and str.lower(), so the semantics ARE Python's.
+#     Docs with an astral (>BMP) codepoint or a codepoint whose lowercase
+#     expands (e.g. U+0130) fall back to the scalar formula.
+# Fast/scalar agreement is pinned by parity + fuzz tests.
+# ---------------------------------------------------------------------------
+
+_ASCII_WS = np.zeros(256, np.bool_)  # Python \s / str.strip() on ASCII
+for _c in (9, 10, 11, 12, 13, 28, 29, 30, 31, 32):
+    _ASCII_WS[_c] = True
+
+_ASCII_PUNCTCH = np.zeros(256, np.bool_)
+for _c in b".,!?;:":
+    _ASCII_PUNCTCH[_c] = True
+
+# utf8 byte sequences of every multibyte char Python's \s matches — the
+# only case where byte-level whitespace runs diverge from codepoint runs
+_MB_WS_SEQS = [chr(c).encode() for c in range(0x80, 0x10000)
+               if re.match(r"\s", chr(c))]
+
+_BMP: dict = {}
+
+
+def _bmp_tables() -> dict:
+    """BMP classification tables, built once per process from Python's own
+    regex engine / str.lower so fast-path semantics are Python's by
+    construction: word (\\w) and whitespace (\\s) masks, a single-codepoint
+    lowercase map, and the 'lower is one codepoint' safety mask."""
+    if not _BMP:
+        n = 0x10000
+        chars = "".join(map(chr, range(n)))
+        word = np.zeros(n, np.bool_)
+        for m in re.finditer(r"\w", chars):
+            word[m.start()] = True
+        lower = np.arange(n, dtype=np.uint32)
+        safe = np.ones(n, np.bool_)
+        for c in np.nonzero(word)[0]:
+            lo = chr(c).lower()
+            if len(lo) == 1 and ord(lo) < n:
+                lower[c] = ord(lo)
+            else:
+                safe[c] = False
+        _BMP.update(word=word, lower=lower, safe=safe)
+    return _BMP
+
+
+def _utf8_bytes_view(col, limit: int | None = None):
+    """(flat uint8, starts, ends) — zero-copy byte view of a
+    utf8/large_utf8 column after null->'' fill and an optional codepoint
+    prefix slice (`utf8_slice_codeunits` slices codepoints, i.e. Python
+    `text[:limit]`).  starts/ends are per-doc byte ranges into flat."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(col, "")
+    if limit is not None:
+        col = pc.utf8_slice_codeunits(col, 0, limit)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), z, z
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], odt)[col.offset:col.offset + len(col) + 1]
+    off = off.astype(np.int64)
+    data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+            else np.zeros(0, np.uint8))
+    flat = data[off[0]:off[-1]]
+    starts = off[:-1] - off[0]
+    ends = off[1:] - off[0]
+    return flat, starts, ends
+
+
+def _utf8_codepoints(flat: np.ndarray, dstarts: np.ndarray,
+                     dends: np.ndarray):
+    """Vectorized UTF-8 decode: (cp uint32, cp_starts, cp_ends) where
+    cp_starts/cp_ends are per-doc ranges into cp.  Assumes valid UTF-8
+    (Arrow guarantees it for utf8 columns); doc boundaries always align
+    with codepoint boundaries."""
+    lead = np.nonzero((flat & 0xC0) != 0x80)[0].astype(np.int64)
+    b0 = flat[lead].astype(np.uint32)
+    cp = b0.copy()
+    m2 = (b0 & 0xE0) == 0xC0
+    m3 = (b0 & 0xF0) == 0xE0
+    m4 = (b0 & 0xF8) == 0xF0
+    if m2.any():
+        i = lead[m2]
+        cp[m2] = ((b0[m2] & 0x1F) << np.uint32(6)) | (flat[i + 1] & 0x3F)
+    if m3.any():
+        i = lead[m3]
+        cp[m3] = (((b0[m3] & 0x0F) << np.uint32(12))
+                  | ((flat[i + 1].astype(np.uint32) & 0x3F) << np.uint32(6))
+                  | (flat[i + 2] & 0x3F))
+    if m4.any():
+        i = lead[m4]
+        cp[m4] = (((b0[m4] & 0x07) << np.uint32(18))
+                  | ((flat[i + 1].astype(np.uint32) & 0x3F) << np.uint32(12))
+                  | ((flat[i + 2].astype(np.uint32) & 0x3F) << np.uint32(6))
+                  | (flat[i + 3] & 0x3F))
+    cp_starts = np.searchsorted(lead, dstarts, side="left")
+    cp_ends = np.searchsorted(lead, dends, side="left")
+    return cp, cp_starts, cp_ends
+
+
+def _run_starts(mask: np.ndarray, doc_starts: np.ndarray) -> np.ndarray:
+    """Positions where a True-run begins, with runs broken at doc starts."""
+    prev = np.zeros_like(mask)
+    if len(mask):
+        prev[1:] = mask[:-1]
+        prev[doc_starts[doc_starts < len(mask)]] = False
+    return np.nonzero(mask & ~prev)[0]
+
+
+def _doc_of(pos: np.ndarray, doc_ends: np.ndarray) -> np.ndarray:
+    """Doc index of each position (starts[i] <= pos < ends[i])."""
+    return np.searchsorted(doc_ends, pos, side="right")
+
+
+def _docs_with_multibyte_ws(flat: np.ndarray, dends: np.ndarray
+                            ) -> np.ndarray:
+    """Doc indices containing any multibyte whitespace character — exact:
+    each candidate's full utf8 sequence is matched (a lead byte position is
+    always a codepoint start, so there are no false positives)."""
+    by_lead: dict[int, list[bytes]] = {}
+    for seq in _MB_WS_SEQS:
+        by_lead.setdefault(seq[0], []).append(seq)
+    found: list[np.ndarray] = []
+    for lead, seqs in by_lead.items():  # one buffer pass per distinct lead
+        pos0 = np.nonzero(flat == lead)[0]
+        if not len(pos0):
+            continue
+        for seq in seqs:
+            pos = pos0
+            for k in range(1, len(seq)):
+                pos = pos[flat[np.minimum(pos + k, len(flat) - 1)] == seq[k]]
+                if not len(pos):
+                    break
+            if len(pos):
+                found.append(pos)
+    if not found:
+        return np.zeros(0, np.int64)
+    return np.unique(_doc_of(np.concatenate(found), dends))
+
 # language-ID: tiny per-language stopword lists (public common words)
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"},
@@ -33,26 +192,62 @@ _STOPWORDS = {
 }
 
 
+def _token_stats_py(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The original per-doc formulas (Python unicode semantics) —
+    (n_tokens, n_chars, n_punct) for a list of possibly-None texts.  The
+    ASCII fast path must agree with THIS bit-for-bit on ASCII input."""
+    n = len(texts)
+    n_tokens = np.zeros(n, np.int64)
+    n_chars = np.zeros(n, np.int64)
+    n_punct = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        ps = _WS_RE.split(t.strip())
+        n_tokens[i] = 0 if len(ps) == 1 and ps[0] == "" else len(ps)
+        n_chars[i] = len(t)
+        n_punct[i] = len(_PUNCT_RE.findall(t))
+    return n_tokens, n_chars, n_punct
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, n_tokens, n_chars_obs, punct_ratio — vectorized via pandas str.
+    """doc_id, n_tokens, n_chars_obs, punct_ratio.
 
     Token rule (shared with the SQL oracle): number of non-empty pieces when
-    splitting on runs of whitespace.
+    splitting on runs of whitespace.  Fast path: byte-LUT numpy passes over
+    the Arrow buffer — whitespace-run starts (continuation bytes are never
+    whitespace, so byte runs == codepoint runs), non-continuation-byte
+    count (== codepoint count), punct-byte count (all six are ASCII).  The
+    single divergent case — a doc containing a MULTIBYTE whitespace char —
+    is detected exactly and recomputed by the scalar formulas
+    (`_token_stats_py`, identical semantics, parity-tested).
     """
-    text = batch.column("text").to_pandas().fillna("")
-    stripped = text.str.strip()
-    n_tokens = stripped.str.split(_WS_RE).map(
-        lambda ps: 0 if len(ps) == 1 and ps[0] == "" else len(ps)
-    )
-    n_chars = text.str.len()
-    n_punct = text.str.count(_PUNCT)
-    punct_ratio = (n_punct / n_chars.clip(lower=1)).round(6)
+    col = batch.column("text")
+    flat, dstarts, dends = _utf8_bytes_view(col)
+    n_docs = len(dstarts)
+    tok_starts = _run_starts(~_ASCII_WS[flat], dstarts)
+    n_tokens = np.bincount(_doc_of(tok_starts, dends), minlength=n_docs)
+    # codepoint count via Arrow's C kernel (np.cumsum / np.add.reduceat
+    # over the 100 MB byte mask both measured 8-20x slower)
+    import pyarrow.compute as pc
+    nc = pc.utf8_length(pc.fill_null(col, ""))
+    if isinstance(nc, pa.ChunkedArray):
+        nc = nc.combine_chunks()
+    n_chars = np.asarray(nc).astype(np.int64)
+    pp = np.nonzero(_ASCII_PUNCTCH[flat])[0]
+    n_punct = np.bincount(_doc_of(pp, dends), minlength=n_docs)
+    mb_ws = _docs_with_multibyte_ws(flat, dends)
+    if len(mb_ws):
+        t2, c2, p2 = _token_stats_py(col.take(pa.array(mb_ws)).to_pylist())
+        n_tokens[mb_ws] = t2
+        n_chars[mb_ws] = c2
+        n_punct[mb_ws] = p2
+    punct_ratio = np.round(n_punct / np.maximum(n_chars, 1), 6)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(n_tokens.astype("int64")),
-            "n_chars_obs": pa.array(n_chars.astype("int64")),
-            "punct_ratio": pa.array(punct_ratio.astype("float64")),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "n_chars_obs": pa.array(n_chars.astype(np.int64)),
+            "punct_ratio": pa.array(punct_ratio.astype(np.float64)),
         }
     )
 
@@ -86,44 +281,106 @@ class LangId:
     tables built once per actor in __init__, applied per batch.
     """
 
+    #: docs look at their first PREFIX codepoints only (the scalar formula's
+    #: `text[:2000]`); stopwords are all < 8 codepoints, so an 8-byte packed
+    #: key identifies them exactly (see `_pack_word`).
+    PREFIX = 2000
+
+    @staticmethod
+    def _pack_word(w: str) -> int:
+        """First 8 codepoints, each clamped to min(cp, 0xFF), zero-padded,
+        as a little-endian uint64.  Exact against any token: a token longer
+        than 8 codepoints can never equal a stopword key (every stopword is
+        < 8 codepoints, so its key has a 0x00 pad where the longer token
+        has a never-zero clamped codepoint), and the 0xFF clamp value never
+        occurs in a stopword (no stopword contains U+00FF or higher)."""
+        bs = bytes(min(ord(ch), 0xFF) for ch in w[:8]).ljust(8, b"\0")
+        return int.from_bytes(bs, "little")
+
     def __init__(self):
         self.word = re.compile(r"[\w']+", re.UNICODE)
         self.langs = sorted(_STOPWORDS)
-        self.tables = [np.asarray(sorted(_STOPWORDS[lang]), dtype=str)
-                       for lang in self.langs]
+        self.tables = [frozenset(_STOPWORDS[lang]) for lang in self.langs]
+        self.key_tables = [
+            np.sort(np.array([self._pack_word(w) for w in _STOPWORDS[lang]],
+                             np.uint64))
+            for lang in self.langs
+        ]
+        self.bmp = _bmp_tables()
+
+    def _py_batch(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """The scalar formula the DuckDB oracle mirrors — (preds, scores)
+        for a list of possibly-None texts.  Fallback for non-ASCII docs and
+        the parity reference for the fast path: winner = first lang in
+        sorted order with the (strictly) highest stopword-hit count; score
+        = round(hits / n_tokens, 6); empty or hitless docs -> ('und', 0.0)."""
+        n_docs = len(texts)
+        preds = np.full(n_docs, "und", dtype=object)
+        scores = np.zeros(n_docs, np.float64)
+        for i, t in enumerate(texts):
+            toks = [w.lower()
+                    for w in self.word.findall((t or "")[:self.PREFIX])]
+            if not toks:
+                continue
+            hits = [sum(tok in tab for tok in toks) for tab in self.tables]
+            best_li = int(np.argmax(hits))
+            if hits[best_li] > 0:
+                preds[i] = self.langs[best_li]
+                scores[i] = np.round(hits[best_li] / len(toks), 6)
+        return preds, scores
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Vectorized scoring (r1 VERDICT item 6): tokens flatten once per
-        batch, membership runs as np.isin over the UNIQUE tokens only, and
-        per-doc hit counts come from one bincount per language — no
-        per-doc/per-token Python loop.  Semantics identical to the scalar
-        formula the DuckDB oracle mirrors: winner = first lang in sorted
-        order with the (strictly) highest stopword-hit count; score =
-        hits / n_tokens; empty or hitless docs -> ("und", 0.0)."""
-        texts = batch.column("text").to_pylist()
-        tok_lists = [self.word.findall((t or "")[:2000]) for t in texts]
-        counts = np.array([len(ts) for ts in tok_lists], np.int64)
-        n_docs = len(texts)
-        flat = [w for ts in tok_lists for w in ts]
-        if flat:
-            arr = np.char.lower(np.asarray(flat, dtype=str))
-            uniq, inv = np.unique(arr, return_inverse=True)
-            doc_idx = np.repeat(np.arange(n_docs), counts)
-            hits = np.zeros((n_docs, len(self.langs)), np.int64)
-            for li, words in enumerate(self.tables):
-                memb = np.isin(uniq, words)
-                hits[:, li] = np.bincount(
-                    doc_idx, weights=memb[inv].astype(np.float64),
-                    minlength=n_docs).astype(np.int64)
-            best_li = hits.argmax(axis=1)  # first max = sorted-lang tiebreak
-            best = hits[np.arange(n_docs), best_li]
-        else:
-            best_li = np.zeros(n_docs, np.int64)
-            best = np.zeros(n_docs, np.int64)
+        """Vectorized fast path (r5; was the gate stage's hottest function
+        at 0.37 ms/doc): the 2000-codepoint prefix decodes to a uint32
+        codepoint array (numpy shift/or passes), token runs come from the
+        BMP \\w mask (plus apostrophe), each token's first 8 lowercased
+        clamped codepoints pack into a uint64 key, and per-language hits
+        are a searchsorted against 10 sorted keys + one bincount — no
+        per-doc Python.  Docs with an astral codepoint or an
+        expanding-lowercase word char recompute via `_py_batch` (the exact
+        scalar formula)."""
+        col = batch.column("text")
+        flat, bstarts, bends = _utf8_bytes_view(col, self.PREFIX)
+        cp, dstarts, dends = _utf8_codepoints(flat, bstarts, bends)
+        n_docs = len(dstarts)
+        bmp = self.bmp
+        cp_c = np.minimum(cp, 0xFFFF)
+        astral = cp > 0xFFFF
+        wordm = bmp["word"][cp_c] & ~astral
+        m = wordm | (cp == 0x27)  # [\w']+
+        tok_starts = _run_starts(m, dstarts)
+        nxt = np.zeros_like(m)
+        if len(m):
+            nxt[:-1] = m[1:]
+            last = dends[dends > dstarts] - 1
+            nxt[last] = False
+        tok_ends = np.nonzero(m & ~nxt)[0] + 1
+        doc_idx = _doc_of(tok_starts, dends)
+        counts = np.bincount(doc_idx, minlength=n_docs)
+        cp_lc = np.minimum(bmp["lower"][cp_c], 0xFF).astype(np.uint8)
+        lens = tok_ends - tok_starts
+        key = np.zeros(len(tok_starts), np.uint64)
+        for k in range(8):
+            msk = lens > k
+            key[msk] |= (cp_lc[tok_starts[msk] + k].astype(np.uint64)
+                         << np.uint64(8 * k))
+        hits = np.zeros((n_docs, len(self.langs)), np.int64)
+        for li, keys in enumerate(self.key_tables):
+            pos = np.minimum(np.searchsorted(keys, key), len(keys) - 1)
+            memb = keys[pos] == key
+            hits[:, li] = np.bincount(doc_idx[memb], minlength=n_docs)
+        best_li = hits.argmax(axis=1)  # first max = sorted-lang tiebreak
+        best = hits[np.arange(n_docs), best_li]
         langs = np.asarray(self.langs, dtype=object)
         preds = np.where(best > 0, langs[best_li], "und")
         safe = np.maximum(counts, 1)
         scores = np.round(np.where(best > 0, best / safe, 0.0), 6)
+        unsafe = astral | (wordm & ~bmp["safe"][cp_c])
+        if unsafe.any():
+            fb = np.unique(_doc_of(np.nonzero(unsafe)[0], dends))
+            p2, s2 = self._py_batch(col.take(pa.array(fb)).to_pylist())
+            preds[fb] = p2
+            scores[fb] = s2
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -1,0 +1,151 @@
+"""Parity suite for the r5 vectorized textstats fast paths.
+
+`token_stats_batch` and `LangId.__call__` run byte/codepoint-LUT numpy
+passes over the Arrow utf8 buffer; these tests pin them bit-for-bit
+against independent scalar implementations of the published formulas
+(Python `re` \\w / \\s semantics, `str.lower`, `text[:2000]` prefix) over
+adversarial and fuzzed inputs: multibyte scripts, multibyte whitespace,
+astral codepoints, expanding-lowercase chars, nulls, chunked/sliced and
+large_string arrays.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from nem_mms_ray.ops.textstats import _STOPWORDS, LangId, token_stats_batch
+
+_WORD_RE = re.compile(r"[\w']+", re.UNICODE)
+_WS_SPLIT = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[.,!?;:]")
+
+
+def _ref_token_stats(texts):
+    rows = []
+    for t in texts:
+        t = t or ""
+        ps = _WS_SPLIT.split(t.strip())
+        n_tokens = 0 if len(ps) == 1 and ps[0] == "" else len(ps)
+        n_chars = len(t)
+        n_punct = len(_PUNCT_RE.findall(t))
+        rows.append((n_tokens, n_chars, round(n_punct / max(n_chars, 1), 6)))
+    return rows
+
+
+def _ref_langid(texts):
+    langs = sorted(_STOPWORDS)
+    rows = []
+    for t in texts:
+        toks = [w.lower() for w in _WORD_RE.findall((t or "")[:2000])]
+        hits = [sum(tok in _STOPWORDS[lg] for tok in toks) for lg in langs]
+        best = int(np.argmax(hits)) if toks else 0
+        if toks and hits[best] > 0:
+            rows.append((langs[best], float(np.round(hits[best] / len(toks), 6))))
+        else:
+            rows.append(("und", 0.0))
+    return rows
+
+
+_ADVERSARIAL = [
+    None,
+    "",
+    " ",
+    "\t\n\x1c\x1d\x1e\x1f",               # ASCII-range Python whitespace
+    "the and of to in is that for with was",
+    "der Hund ist nicht mit",    # nbsp between tokens
+    "une\u3000dans\u3000pour",  # ideographic space
+    " le la les des",  # exotic separators
+    "это не просто текст the la de",       # Cyrillic + Latin stopwords
+    "日本語のテキスト です the",
+    "don't can't 'tis o''clock",
+    "İstanbul İ İ the the the",            # expanding lowercase (U+0130)
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 the and of",                  # astral word chars
+    "😀 the 😀 and 😀",                      # astral non-word chars
+    "a" * 5000,                            # prefix cut inside a token
+    ("w " * 999) + "é" + (" the" * 200),   # multibyte near the 2000 cut
+    "ZIJN VOOR HET EEN VAN",               # uppercase stopwords
+    "the.and,of!to?in;is:",                # punct adjacent to stopwords
+    "ÿ ÿthe theÿ",                         # U+00FF (the key clamp value)
+    "Āā pìù più não",  # più / não
+    "x" + " " * 3000,                 # multibyte ws crossing the cut
+]
+
+
+def _fuzz_docs(n=300, seed=11):
+    rng = random.Random(seed)
+    vocab = ["the", "la", "de", "não", "più", "het", "причём", "текст",
+             "日本", "don't", "_x9", "...", "!?", "a" * 30, "é", "𝕏", "😀",
+             "İ", "ǅ", "ÿ", " ", "　", " ", "\t", "\x1e", ""]
+    docs = []
+    for _ in range(n):
+        k = rng.randint(0, 40)
+        docs.append("".join(rng.choice(vocab) + rng.choice([" ", "", "\n"])
+                            for _ in range(k)))
+    return docs
+
+
+def _variants(docs):
+    """The same logical column in every physical layout the fast path
+    special-cases: plain, large_string, and a sliced (offset != 0) array."""
+    n = len(docs)
+    yield pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    yield pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(docs, pa.large_string())})
+    base = pa.table({"doc_id": pa.array(range(n + 4), pa.int64()),
+                     "text": pa.array(list(docs) + [None, "x", "", "y"],
+                                      pa.string())})
+    yield base.slice(2, n)
+
+
+@pytest.mark.parametrize("docs", [_ADVERSARIAL, _fuzz_docs()],
+                         ids=["adversarial", "fuzz"])
+def test_token_stats_parity(docs):
+    for batch in _variants(docs):
+        got = token_stats_batch(batch)
+        ref = _ref_token_stats(batch.column("text").to_pylist())
+        assert got.column("n_tokens").to_pylist() == [r[0] for r in ref]
+        assert got.column("n_chars_obs").to_pylist() == [r[1] for r in ref]
+        assert got.column("punct_ratio").to_pylist() == pytest.approx(
+            [r[2] for r in ref], abs=0)
+
+
+@pytest.mark.parametrize("docs", [_ADVERSARIAL, _fuzz_docs(seed=12)],
+                         ids=["adversarial", "fuzz"])
+def test_langid_parity(docs):
+    li = LangId()
+    for batch in _variants(docs):
+        got = li(batch)
+        ref = _ref_langid(batch.column("text").to_pylist())
+        assert got.column("lang_pred").to_pylist() == [r[0] for r in ref]
+        assert got.column("lang_score").to_pylist() == pytest.approx(
+            [r[1] for r in ref], abs=0)
+
+
+def test_langid_empty_batch():
+    li = LangId()
+    batch = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = li(batch)
+    assert out.num_rows == 0
+    ts = token_stats_batch(batch)
+    assert ts.num_rows == 0
+
+
+def test_langid_chunked_column():
+    docs1 = ["the and of", "der ist nicht"]
+    docs2 = ["это текст the", None]
+    col = pa.chunked_array([pa.array(docs1), pa.array(docs2)])
+    batch = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": col})
+    got = LangId()(batch)
+    ref = _ref_langid(docs1 + docs2)
+    assert got.column("lang_pred").to_pylist() == [r[0] for r in ref]
+    ts = token_stats_batch(batch)
+    ref_ts = _ref_token_stats(docs1 + docs2)
+    assert ts.column("n_tokens").to_pylist() == [r[0] for r in ref_ts]
