@@ -593,29 +593,55 @@ def _minhash_task(batch: pa.Table, **kw) -> pa.Table:
 
 
 def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """All candidate pairs inside one coarse bucket: a vectorized pandas
-    groupby over the fine (band, band_key) keys.  Coarse bucketing keeps the
-    Ray group count at ~n_buckets instead of one Ray group per LSH key —
+    """All candidate pairs inside one coarse bucket.  Coarse bucketing keeps
+    the Ray group count at ~n_buckets instead of one Ray group per LSH key —
     per-group task overhead dominates otherwise (measured 13.7s -> <1s on
-    80k keys)."""
+    80k keys).
+
+    Fully vectorized (r5): one lexsort finds the fine (band, band_key)
+    groups and de-dups docs within each; pair expansion then runs once per
+    DISTINCT GROUP SIZE (all size-s groups expand through one shared
+    triu_indices broadcast) instead of once per group — the per-group
+    Python loop was 32 core-s on the sf0.1 flagship's 1.85M rows / ~100k
+    multi-doc keys, larger than the minhash pass itself.  Pair SET is
+    identical to the per-group path (same sorted-unique docs, same a < b
+    expansion, same >200 chain-to-min skew guard); only row order differs,
+    and every consumer (distinct, verify shuffle) is order-insensitive."""
+    band = g["band"].to_numpy(np.int64)
+    key = g["band_key"].to_numpy(np.int64)
+    doc = g["doc_id"].to_numpy(np.int64)
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+    if not len(doc):
+        return empty
+    order = np.lexsort((doc, key, band))
+    band, key, doc = band[order], key[order], doc[order]
+    new_grp = np.empty(len(doc), np.bool_)
+    new_grp[0] = True
+    new_grp[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    dup = np.zeros(len(doc), np.bool_)
+    dup[1:] = ~new_grp[1:] & (doc[1:] == doc[:-1])
+    if dup.any():  # same doc under the same key (duplicate signature rows)
+        keep = ~dup
+        doc, new_grp = doc[keep], new_grp[keep]
+    starts = np.nonzero(new_grp)[0]
+    sizes = np.diff(np.append(starts, len(doc)))
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
-    sizes = g.groupby(["band", "band_key"])["doc_id"]
-    for _, docs in sizes:
-        u = np.sort(docs.unique())
-        if len(u) < 2:
-            continue
-        if len(u) > 200:  # skew guard: degenerate key (e.g. empty docs)
-            ca, cb = _chain_to_min(u, "minhash LSH")
-            out_a.append(ca)
-            out_b.append(cb)
-            continue
-        ai, bi = np.triu_indices(len(u), k=1)
-        out_a.append(u[ai])
-        out_b.append(u[bi])
+    big = sizes > 200  # skew guard: degenerate key (e.g. empty docs)
+    for s0, sz in zip(starts[big], sizes[big]):
+        ca, cb = _chain_to_min(doc[s0:s0 + sz], "minhash LSH")
+        out_a.append(ca)
+        out_b.append(cb)
+    norm = ~big & (sizes >= 2)
+    nstarts, nsizes = starts[norm], sizes[norm]
+    for s in np.unique(nsizes):
+        gs = nstarts[nsizes == s]
+        ai, bi = np.triu_indices(int(s), k=1)
+        out_a.append(doc[(gs[:, None] + ai[None, :]).ravel()])
+        out_b.append(doc[(gs[:, None] + bi[None, :]).ravel()])
     if not out_a:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
+        return empty
     return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
