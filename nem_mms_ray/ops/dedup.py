@@ -121,6 +121,9 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
       in the two-shuffle regime, ids never referenced by a pair are dropped
       by the attach stage's inner merge (a distributed semi-join — nothing
       pair-sized ever lands on the driver above `max_probe_pairs`).
+      Alternatively a FACTORY callable (id_ref_or_None -> that Dataset):
+      the broadcast regime passes the referenced-id ObjectRef so payload
+      construction itself can skip unreferenced rows (see minhash_dedup).
     pair_metric(bytes, bytes) -> float, computed once per pair; with
     `carry` set, extra numeric columns of `pairs` ride along and arrive as
     keyword args: pair_metric(bytes, bytes, **{c: float(v)}).
@@ -169,6 +172,14 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     """
     import ray
 
+    # `payloads` may be a FACTORY (id_ref_or_None -> Dataset[(jid,
+    # payload)]): the broadcast regime then hands it the referenced-id
+    # ObjectRef so the caller can filter BEFORE building payload bytes —
+    # e.g. minhash_dedup shingles only the candidate docs instead of
+    # shingling the whole corpus and discarding ~2/3 of it (r5: ~7 core-s
+    # off the flagship verify stage at sf0.1).
+    payloads_factory = payloads if callable(payloads) else None
+
     # both regimes consume `pairs` twice — pin the lineage once
     pairs = pairs.materialize()
     if pairs.count() > max_probe_pairs:
@@ -177,7 +188,8 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
             "skipping the broadcast probe; two-shuffle path with attach-side "
             "semi-join", max_probe_pairs)
         return _pairs_payload_metric_shuffle(
-            pairs, payloads, pair_metric, metric_name, n_buckets, carry,
+            pairs, payloads_factory(None) if payloads_factory else payloads,
+            pair_metric, metric_name, n_buckets, carry,
             pair_metric_batch=pair_metric_batch, metric_min=metric_min)
 
     # probe regime: referenced ids (bounded by the gate above) stream to
@@ -198,8 +210,9 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
         pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
         return t.filter(pa.array(s[pos] == ids))
 
-    referenced = payloads.map_batches(
-        keep_referenced, batch_format="pyarrow").materialize()
+    referenced = (payloads_factory(id_ref) if payloads_factory
+                  else payloads.map_batches(
+                      keep_referenced, batch_format="pyarrow")).materialize()
     blob_bytes = int(referenced.map_batches(
         lambda t: {"nb": [int(pc.sum(pc.binary_length(
             t.column("payload"))).as_py() or 0)]},
@@ -918,18 +931,32 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
     when referenced-payload volume per bucket (≈ candidate docs x blob
     size / verify_buckets) approaches worker heap.
     """
-    import functools
-
     import ray
 
     raw = _minhash_raw_pairs(ds, num_perm, bands, ngram, n_buckets=128).materialize()
     if raw.count() > max_broadcast_pairs:
         cand = bucketed_pair_agg(raw, _pd_distinct_pairs)
-        payloads = ds.map_batches(
-            functools.partial(_shingle_blobs, ngram=ngram,
-                              id_col="doc_id", text_col="text"),
-            batch_format="pyarrow",
-        )
+
+        def payloads(id_ref=None):
+            """Shingle-blob factory: with the verify stage's referenced-id
+            ref, docs in no candidate pair are dropped BEFORE shingling
+            (the shingle pass is the payload cost — on the sf0.1 flagship
+            ~2/3 of docs are unreferenced, so filter-then-shingle saves
+            ~7 core-s vs shingle-then-filter)."""
+            def shingle_filtered(batch: pa.Table) -> pa.Table:
+                if id_ref is not None:
+                    s = ray.get(id_ref)
+                    ids = np.asarray(batch.column("doc_id"), np.int64)
+                    if not len(s):
+                        batch = batch.slice(0, 0)
+                    else:
+                        pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
+                        batch = batch.filter(pa.array(s[pos] == ids))
+                return _shingle_blobs(batch, ngram=ngram, id_col="doc_id",
+                                      text_col="text")
+
+            return ds.map_batches(shingle_filtered, batch_format="pyarrow")
+
         scored = pairs_payload_metric(cand, payloads, _jaccard_blobs, "jaccard",
                                       n_buckets=verify_buckets,
                                       pair_metric_batch=_jaccard_store_batch,
