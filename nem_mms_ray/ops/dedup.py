@@ -754,27 +754,54 @@ def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
     of scraping logs (ADVICE r4).  Each pair carries both docs' total set
     sizes (the "sz" column the explode stage stamped on every gram row),
     so the downstream jaccard needs no second pass over the corpus."""
-    out_a, out_b, out_na, out_nb = [], [], [], []
-    dropped = 0
-    max_df_seen = 0
     if max_gram_df is None:
         max_gram_df = np.iinfo(np.int64).max  # no cap: fully exact
-    for _, sub in g.groupby("gram", sort=False):
-        d = sub.drop_duplicates(id_col)
-        if len(d) < 2:
-            continue
-        if len(d) > max_gram_df:
-            dropped += 1
-            max_df_seen = max(max_df_seen, len(d))
-            continue
-        d = d.sort_values(id_col)
-        u = d[id_col].to_numpy(np.int64)
-        sz = d["sz"].to_numpy(np.int64)
-        ai, bi = np.triu_indices(len(u), k=1)
-        out_a.append(u[ai])
-        out_b.append(u[bi])
-        out_na.append(sz[ai])
-        out_nb.append(sz[bi])
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "cnt": pd.Series([], dtype="int64"),
+                          "na": pd.Series([], dtype="int64"),
+                          "nb": pd.Series([], dtype="int64")})
+    gram = g["gram"].to_numpy(np.int64)
+    doc = g[id_col].to_numpy(np.int64)
+    sz = g["sz"].to_numpy(np.int64)
+    dropped = 0
+    max_df_seen = 0
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_na: list[np.ndarray] = []
+    out_nb: list[np.ndarray] = []
+    if len(doc):
+        # vectorized per-gram grouping (r5, the _pairs_in_bucket shape):
+        # one lexsort, doc de-dup within gram, then pair expansion once per
+        # DISTINCT per-gram doc count via a shared triu broadcast.  sz is
+        # constant per doc, so any representative row matches the old
+        # drop_duplicates-first semantics.
+        order = np.lexsort((doc, gram))
+        gram, doc, sz = gram[order], doc[order], sz[order]
+        new_grp = np.empty(len(doc), np.bool_)
+        new_grp[0] = True
+        new_grp[1:] = gram[1:] != gram[:-1]
+        dup = np.zeros(len(doc), np.bool_)
+        dup[1:] = ~new_grp[1:] & (doc[1:] == doc[:-1])
+        if dup.any():
+            keep = ~dup
+            doc, sz, new_grp = doc[keep], sz[keep], new_grp[keep]
+        starts = np.nonzero(new_grp)[0]
+        sizes = np.diff(np.append(starts, len(doc)))
+        big = sizes > max_gram_df  # skew guard: stop-gram M^2/2 blow-up
+        dropped = int(big.sum())
+        max_df_seen = int(sizes[big].max()) if dropped else 0
+        norm = ~big & (sizes >= 2)
+        nstarts, nsizes = starts[norm], sizes[norm]
+        for s in np.unique(nsizes):
+            gs = nstarts[nsizes == s]
+            ai, bi = np.triu_indices(int(s), k=1)
+            ia = (gs[:, None] + ai[None, :]).ravel()
+            ib = (gs[:, None] + bi[None, :]).ravel()
+            out_a.append(doc[ia])
+            out_b.append(doc[ib])
+            out_na.append(sz[ia])
+            out_nb.append(sz[ib])
     if dropped:
         logger.warning(
             "ngram_jaccard: dropped %d frequent gram(s) from pair generation "
@@ -784,16 +811,22 @@ def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
                           "na": [dropped], "nb": [max_df_seen]}
                          ).astype("int64") if emit_stats and dropped else None
     if not out_a:
-        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64"),
-                              "cnt": pd.Series([], dtype="int64"),
-                              "na": pd.Series([], dtype="int64"),
-                              "nb": pd.Series([], dtype="int64")})
         return empty if stats is None else stats
-    df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b),
-                       "na": np.concatenate(out_na), "nb": np.concatenate(out_nb)})
-    agg = df.groupby(["a", "b"], as_index=False).agg(
-        cnt=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+    # per-pair aggregate (cnt = shared-gram count = |intersection|),
+    # vectorized: sort pairs, run-length the (a, b) groups
+    A = np.concatenate(out_a)
+    B = np.concatenate(out_b)
+    NA = np.concatenate(out_na)
+    NB = np.concatenate(out_nb)
+    o = np.lexsort((B, A))
+    A, B, NA, NB = A[o], B[o], NA[o], NB[o]
+    ng = np.empty(len(A), np.bool_)
+    ng[0] = True
+    ng[1:] = (A[1:] != A[:-1]) | (B[1:] != B[:-1])
+    ps = np.nonzero(ng)[0]
+    cnt = np.diff(np.append(ps, len(A)))
+    agg = pd.DataFrame({"a": A[ps], "b": B[ps], "cnt": cnt.astype(np.int64),
+                        "na": NA[ps], "nb": NB[ps]})
     return agg if stats is None else pd.concat([agg, stats],
                                                ignore_index=True)
 
