@@ -268,9 +268,15 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, fp = md5(text) hex — exact-dup key, SQL oracle: md5(text)."""
-    text = batch.column("text").to_pylist()
-    fps = [hashlib.md5((t or "").encode()).hexdigest() for t in text]
+    """doc_id, fp = md5(text) hex — exact-dup key, SQL oracle: md5(text).
+
+    Hashes each doc's utf8 bytes straight out of the Arrow buffer (the
+    buffer IS the utf8 encoding, so md5(slice) == md5(text.encode())
+    byte-for-byte) instead of round-tripping through Python str."""
+    flat, dstarts, dends = _utf8_bytes_view(batch.column("text"))
+    mv = memoryview(flat)
+    fps = [hashlib.md5(mv[s:e]).hexdigest()
+           for s, e in zip(dstarts.tolist(), dends.tolist())]
     return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
 
 
