@@ -15,7 +15,6 @@ All randomness is seeded; outputs are deterministic for a given input.
 
 from __future__ import annotations
 
-import hashlib
 import logging
 
 import numpy as np
@@ -426,9 +425,10 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
     from ray.data.aggregate import Min
 
     def add_fp(batch: pa.Table) -> pa.Table:
-        vals = batch.column(key).to_pylist()
-        fps = [hashlib.md5((v or "").encode()).hexdigest() for v in vals]
-        return pa.table({id_col: batch.column(id_col), "fp": pa.array(fps)})
+        from nem_mms_ray.ops.textstats import md5_hex_column
+
+        return pa.table({id_col: batch.column(id_col),
+                         "fp": pa.array(md5_hex_column(batch.column(key)))})
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")

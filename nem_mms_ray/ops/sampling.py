@@ -24,7 +24,6 @@ a shuffle-minimal Ray Data shape with an exact DuckDB mirror:
 
 from __future__ import annotations
 
-import hashlib
 import logging
 
 import numpy as np
@@ -55,11 +54,11 @@ def hash_sample(ds, rate: float, precision: int = 4,
     thr = sample_threshold(rate, precision)
 
     def keep(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        mask = np.fromiter(
-            (hashlib.md5((t or "").encode()).hexdigest()[:precision] < thr
-             for t in texts),
-            dtype=bool, count=len(texts))
+        from nem_mms_ray.ops.textstats import md5_hex_column
+
+        fps = md5_hex_column(batch.column(text_col))
+        mask = np.fromiter((f[:precision] < thr for f in fps),
+                           dtype=bool, count=len(fps))
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -267,17 +267,24 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, fp = md5(text) hex — exact-dup key, SQL oracle: md5(text).
+def md5_hex_column(col) -> list[str]:
+    """md5 hex digest of each string's utf8 bytes (null -> md5('')).
 
-    Hashes each doc's utf8 bytes straight out of the Arrow buffer (the
-    buffer IS the utf8 encoding, so md5(slice) == md5(text.encode())
-    byte-for-byte) instead of round-tripping through Python str."""
-    flat, dstarts, dends = _utf8_bytes_view(batch.column("text"))
+    Hashes straight out of the Arrow buffer (the buffer IS the utf8
+    encoding, so md5(slice) == md5(text.encode()) byte-for-byte) instead
+    of round-tripping each value through a Python str — 1.5x measured on
+    web text; md5 itself is the repo's stable-hash contract (SQL mirror:
+    md5(text)) so the per-value digest call stays."""
+    flat, dstarts, dends = _utf8_bytes_view(col)
     mv = memoryview(flat)
-    fps = [hashlib.md5(mv[s:e]).hexdigest()
-           for s, e in zip(dstarts.tolist(), dends.tolist())]
-    return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
+    return [hashlib.md5(mv[s:e]).hexdigest()
+            for s, e in zip(dstarts.tolist(), dends.tolist())]
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, fp = md5(text) hex — exact-dup key, SQL oracle: md5(text)."""
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "fp": pa.array(md5_hex_column(batch.column("text")))})
 
 
 class LangId:

@@ -45,7 +45,26 @@ def _url_ids(urls) -> np.ndarray:
     into md5('') would merge every null-url row into ONE doc in the dedup
     stage (and cross-merge them with a genuinely-empty url — ADVICE r4).
     Callers with null-url rows must assign ids upstream or drop the rows.
-    An empty-string url is a real (if odd) value and keeps md5('')."""
+    An empty-string url is a real (if odd) value and keeps md5('').
+
+    Accepts an Arrow string column (fast path: md5 over memoryview slices
+    of the utf8 buffer, no per-url Python str) or a list of str."""
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        col = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) \
+            else urls
+        if col.null_count:
+            raise ValueError(
+                "null url at input row: doc identity is md5(url) — drop "
+                "null-url rows or pre-assign doc ids upstream")
+        from nem_mms_ray.ops.textstats import _utf8_bytes_view
+
+        flat, starts, ends = _utf8_bytes_view(col)
+        mv = memoryview(flat)
+        out = np.fromiter(
+            (int.from_bytes(hashlib.md5(mv[s:e]).digest()[:8], "little")
+             for s, e in zip(starts.tolist(), ends.tolist())),
+            np.uint64, count=len(starts))
+        return out.view(np.int64)
     out = np.empty(len(urls), np.uint64)
     for i, u in enumerate(urls):
         if u is None:
@@ -137,7 +156,7 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
 
         def write_extract(tmp: str) -> None:
             def add_ids(t: pa.Table) -> pa.Table:
-                ids = _url_ids(t.column("url").to_pylist())
+                ids = _url_ids(t.column("url"))
                 return t.append_column("doc_id", pa.array(ids))
 
             extract_text(
