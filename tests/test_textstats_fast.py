@@ -149,3 +149,36 @@ def test_langid_chunked_column():
     ts = token_stats_batch(batch)
     ref_ts = _ref_token_stats(docs1 + docs2)
     assert ts.column("n_tokens").to_pylist() == [r[0] for r in ref_ts]
+
+
+def test_md5_hex_column_parity():
+    import hashlib
+
+    from nem_mms_ray.ops.textstats import md5_hex_column
+
+    docs = ["hello", None, "", "日本語 text", "a" * 5000, "é" * 100]
+    ref = [hashlib.md5((t or "").encode()).hexdigest() for t in docs]
+    assert md5_hex_column(pa.array(docs)) == ref
+    assert md5_hex_column(pa.array(docs, pa.large_string())) == ref
+    chunked = pa.chunked_array([pa.array(docs[:3]), pa.array(docs[3:])])
+    assert md5_hex_column(chunked) == ref
+    sliced = pa.array(["x"] + docs + ["y"]).slice(1, len(docs))
+    assert md5_hex_column(sliced) == ref
+
+
+def test_url_ids_column_parity_and_null_contract():
+    import hashlib
+
+    from nem_mms_ray.pipelines.web import _url_ids
+
+    urls = ["http://a.com/x", "", "http://b.io/日本", "z" * 500]
+    ref = np.array([int.from_bytes(hashlib.md5(u.encode()).digest()[:8],
+                                   "little") for u in urls],
+                   np.uint64).view(np.int64)
+    assert (_url_ids(pa.array(urls)) == ref).all()
+    assert (_url_ids(pa.chunked_array([pa.array(urls[:2]),
+                                       pa.array(urls[2:])])) == ref).all()
+    assert (_url_ids(urls) == ref).all()  # legacy list path
+    for bad in (pa.array(["a", None]), ["a", None]):
+        with pytest.raises(ValueError, match="null url"):
+            _url_ids(bad)
