@@ -788,7 +788,10 @@ def _gram_pairs_in_bucket(g: pd.DataFrame, id_col: str,
             doc, sz, new_grp = doc[keep], sz[keep], new_grp[keep]
         starts = np.nonzero(new_grp)[0]
         sizes = np.diff(np.append(starts, len(doc)))
-        big = sizes > max_gram_df  # skew guard: stop-gram M^2/2 blow-up
+        # skew guard: stop-gram M^2/2 blow-up; singletons are SKIPPED, not
+        # dropped (the scalar path's check order), so a degenerate cap < 2
+        # never counts them against recall
+        big = (sizes > max_gram_df) & (sizes >= 2)
         dropped = int(big.sum())
         max_df_seen = int(sizes[big].max()) if dropped else 0
         norm = ~big & (sizes >= 2)
