@@ -48,18 +48,19 @@ class CurateLabel:
                 ["doc_id" if c == self.id_col else
                  "text" if c == self.text_col else c
                  for c in batch.column_names])
+        import pyarrow.compute as pc
+
         q = np.asarray(quality_score_batch(batch).column("quality"), np.float64)
-        lp = self.langid(batch).column("lang_pred").to_pylist()
+        lp = self.langid(batch).column("lang_pred")
         keep = q >= self.quality_min
         if self.lang is not None:
-            keep &= np.asarray(lp, dtype=object) == self.lang
+            keep &= np.asarray(pc.equal(lp, self.lang))
         mask = pa.array(keep)
         fp = fingerprint_batch(batch).column("fp").filter(mask)
         return pa.table({
             "doc_id": batch.column("doc_id").filter(mask).cast(pa.int64()),
             "fp": fp,
-            "lang_pred": pa.array(np.asarray(lp, dtype=object)[keep].tolist(),
-                                  pa.string()),
+            "lang_pred": lp.filter(mask),
             "quality": pa.array(q[keep], pa.float64()),
         })
 
