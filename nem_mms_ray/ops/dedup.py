@@ -70,6 +70,18 @@ def _payload_store(payload_series) -> tuple[np.ndarray, np.ndarray]:
     return flat, off
 
 
+def _filter_by_sorted_ids(t: pa.Table, s: np.ndarray, col: str) -> pa.Table:
+    """Rows of `t` whose int64 `col` value appears in the SORTED distinct
+    array `s` — the clip-then-compare searchsorted membership idiom, owned
+    once (empty `s` -> empty table).  `s` MUST be sorted (np.unique /
+    np.sort output)."""
+    ids = np.asarray(t.column(col), np.int64)
+    if not len(s):
+        return t.slice(0, 0)
+    pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
+    return t.filter(pa.array(s[pos] == ids))
+
+
 def _store_positions(sorted_ids: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Store slot of each id in `x` against a `_payload_store` whose rows
     are keyed by `sorted_ids` (ascending, distinct); ids absent from the
@@ -202,12 +214,7 @@ def pairs_payload_metric(pairs, payloads, pair_metric, metric_name: str,
     id_ref = ray.put(ref_ids)
 
     def keep_referenced(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("jid"), np.int64)
-        s = ray.get(id_ref)
-        if not len(s):
-            return t.slice(0, 0)
-        pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
-        return t.filter(pa.array(s[pos] == ids))
+        return _filter_by_sorted_ids(t, ray.get(id_ref), "jid")
 
     referenced = (payloads_factory(id_ref) if payloads_factory
                   else payloads.map_batches(
@@ -980,14 +987,9 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128,
             ~2/3 of docs are unreferenced, so filter-then-shingle saves
             ~7 core-s vs shingle-then-filter)."""
             def shingle_filtered(batch: pa.Table) -> pa.Table:
-                if id_ref is not None:
-                    s = ray.get(id_ref)
-                    ids = np.asarray(batch.column("doc_id"), np.int64)
-                    if not len(s):
-                        batch = batch.slice(0, 0)
-                    else:
-                        pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
-                        batch = batch.filter(pa.array(s[pos] == ids))
+                if id_ref is not None:  # ref ids are np.unique output: sorted
+                    batch = _filter_by_sorted_ids(batch, ray.get(id_ref),
+                                                  "doc_id")
                 return _shingle_blobs(batch, ngram=ngram, id_col="doc_id",
                                       text_col="text")
 

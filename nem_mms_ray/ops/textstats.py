@@ -83,6 +83,28 @@ def _bmp_tables() -> dict:
     return _BMP
 
 
+def _as_utf8(col):
+    """Normalize a text column to a null-free plain-utf8 array:
+    dictionary-encoded (e.g. pandas categorical) and string_view columns
+    decode C-side first; any non-text type raises a clear TypeError
+    instead of an opaque buffer-layout error; nulls fill to ''.
+    Idempotent — already-normalized columns pass through cheaply."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        decodable = (
+            (pa.types.is_dictionary(t)
+             and (pa.types.is_string(t.value_type)
+                  or pa.types.is_large_string(t.value_type)))
+            or (hasattr(pa.types, "is_string_view")
+                and pa.types.is_string_view(t)))
+        if not decodable:
+            raise TypeError(f"expected a utf8 text column, got {t}")
+        col = pc.cast(col, pa.string())
+    return pc.fill_null(col, "")
+
+
 def _utf8_bytes_view(col, limit: int | None = None):
     """(flat uint8, starts, ends) — zero-copy byte view of a
     utf8/large_utf8 column after null->'' fill and an optional codepoint
@@ -90,7 +112,7 @@ def _utf8_bytes_view(col, limit: int | None = None):
     `text[:limit]`).  starts/ends are per-doc byte ranges into flat."""
     import pyarrow.compute as pc
 
-    col = pc.fill_null(col, "")
+    col = _as_utf8(col)  # idempotent: pre-normalized callers pass through
     if limit is not None:
         col = pc.utf8_slice_codeunits(col, 0, limit)
     if isinstance(col, pa.ChunkedArray):
@@ -221,15 +243,17 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     is detected exactly and recomputed by the scalar formulas
     (`_token_stats_py`, identical semantics, parity-tested).
     """
-    col = batch.column("text")
+    import pyarrow.compute as pc
+
+    col = _as_utf8(batch.column("text"))  # once; the view's internal
+    # normalize is a no-op pass-through on the result
     flat, dstarts, dends = _utf8_bytes_view(col)
     n_docs = len(dstarts)
     tok_starts = _run_starts(~_ASCII_WS[flat], dstarts)
     n_tokens = np.bincount(_doc_of(tok_starts, dends), minlength=n_docs)
     # codepoint count via Arrow's C kernel (np.cumsum / np.add.reduceat
     # over the 100 MB byte mask both measured 8-20x slower)
-    import pyarrow.compute as pc
-    nc = pc.utf8_length(pc.fill_null(col, ""))
+    nc = pc.utf8_length(col)
     if isinstance(nc, pa.ChunkedArray):
         nc = nc.combine_chunks()
     n_chars = np.asarray(nc).astype(np.int64)

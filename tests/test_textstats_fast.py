@@ -182,3 +182,22 @@ def test_url_ids_column_parity_and_null_contract():
     for bad in (pa.array(["a", None]), ["a", None]):
         with pytest.raises(ValueError, match="null url"):
             _url_ids(bad)
+
+
+def test_text_column_layouts_dictionary_and_errors():
+    """Dictionary-encoded (pandas categorical) text decodes C-side; a
+    non-text column raises a clear TypeError, not a buffer-layout error."""
+    from nem_mms_ray.ops.textstats import md5_hex_column
+
+    docs = ["the and of", None, "это текст the", ""]
+    dict_col = pa.array(docs).dictionary_encode()
+    batch = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": dict_col})
+    plain = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(docs)})
+    assert token_stats_batch(batch).equals(token_stats_batch(plain))
+    assert LangId()(batch).equals(LangId()(plain))
+    assert md5_hex_column(dict_col) == md5_hex_column(pa.array(docs))
+    with pytest.raises(TypeError, match="utf8 text column"):
+        token_stats_batch(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                    "text": pa.array([7], pa.int64())}))
