@@ -368,11 +368,25 @@ def run_scaling() -> dict:
                    NEM_MMS_ROWS_MULT=str(mult),
                    NEM_MMS_BENCH_REPS="1",  # the trial loop below is the min
                    NEM_MMS_BENCH_ONLY=only)
-        out = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True,
-            check=True, cwd=str(Path(__file__).parent),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # a child can die transiently under co-tenant pressure (observed
+        # once this round: exit 1 with the cause only in the child's
+        # stderr, losing the whole multi-minute sample) — retry once, and
+        # on final failure raise WITH the stderr tail so the sample's
+        # post-mortem doesn't need a rerun
+        for attempt in (1, 2):
+            proc = subprocess.run(
+                [sys.executable, __file__], env=env, capture_output=True,
+                text=True, cwd=str(Path(__file__).parent),
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            print(f"scaling child (ncpu={ncpu}) attempt {attempt} exited "
+                  f"{proc.returncode}; stderr tail:\n"
+                  + "\n".join(proc.stderr.splitlines()[-15:]),
+                  file=sys.stderr)
+        raise RuntimeError(
+            f"scaling child (ncpu={ncpu}) failed twice; last stderr tail: "
+            + "\n".join(proc.stderr.splitlines()[-15:]))
 
     # N and 4N.  Default 2/8 rather than 8/32: this shared sandbox delivers
     # only ~2-14 effective cores of the nominal 32 under co-tenant load
