@@ -138,28 +138,47 @@ def _utf8_codepoints(flat: np.ndarray, dstarts: np.ndarray,
     cp_starts/cp_ends are per-doc ranges into cp.  Assumes valid UTF-8
     (Arrow guarantees it for utf8 columns); doc boundaries always align
     with codepoint boundaries."""
-    lead = np.nonzero((flat & 0xC0) != 0x80)[0].astype(np.int64)
-    b0 = flat[lead].astype(np.uint32)
-    cp = b0.copy()
-    m2 = (b0 & 0xE0) == 0xC0
-    m3 = (b0 & 0xF0) == 0xE0
-    m4 = (b0 & 0xF8) == 0xF0
+    cont = (flat & 0xC0) == 0x80
+    if not cont.any():  # pure ASCII (or no multibyte at all): cp == byte
+        return (flat.astype(np.uint32), dstarts.astype(np.int64),
+                dends.astype(np.int64))
+    # Decode IN PLACE on a widened copy, then compress out continuation
+    # bytes with one boolean mask — avoids the previous version's
+    # len(flat)-sized int64 lead-index vector + fancy-gathers.  Only
+    # multibyte LEAD positions (>= 0xC0) need indexed work (at most
+    # len/4 of the 15%-non-ASCII web corpus).  Order-fair interleaved
+    # A/B on 68 MB of webtable prefixes: 1.5x at 1024-row batches, 2.0x
+    # at 4096, 4.6x on one giant batch (old code's warm best 3.44s ->
+    # 0.74s), outputs identical.
+    cp0 = flat.astype(np.uint32)
+    mb = np.nonzero(flat >= 0xC0)[0]
+    b0 = cp0[mb]
+    m2 = b0 < 0xE0
+    m3 = (b0 >= 0xE0) & (b0 < 0xF0)
+    m4 = b0 >= 0xF0
     if m2.any():
-        i = lead[m2]
-        cp[m2] = ((b0[m2] & 0x1F) << np.uint32(6)) | (flat[i + 1] & 0x3F)
+        i = mb[m2]
+        cp0[i] = ((b0[m2] & 0x1F) << np.uint32(6)) | (cp0[i + 1] & 0x3F)
     if m3.any():
-        i = lead[m3]
-        cp[m3] = (((b0[m3] & 0x0F) << np.uint32(12))
-                  | ((flat[i + 1].astype(np.uint32) & 0x3F) << np.uint32(6))
-                  | (flat[i + 2] & 0x3F))
+        i = mb[m3]
+        cp0[i] = (((b0[m3] & 0x0F) << np.uint32(12))
+                  | ((cp0[i + 1] & 0x3F) << np.uint32(6))
+                  | (cp0[i + 2] & 0x3F))
     if m4.any():
-        i = lead[m4]
-        cp[m4] = (((b0[m4] & 0x07) << np.uint32(18))
-                  | ((flat[i + 1].astype(np.uint32) & 0x3F) << np.uint32(12))
-                  | ((flat[i + 2].astype(np.uint32) & 0x3F) << np.uint32(6))
-                  | (flat[i + 3] & 0x3F))
-    cp_starts = np.searchsorted(lead, dstarts, side="left")
-    cp_ends = np.searchsorted(lead, dends, side="left")
+        i = mb[m4]
+        cp0[i] = (((b0[m4] & 0x07) << np.uint32(18))
+                  | ((cp0[i + 1] & 0x3F) << np.uint32(12))
+                  | ((cp0[i + 2] & 0x3F) << np.uint32(6))
+                  | (cp0[i + 3] & 0x3F))
+    cp = cp0[~cont]
+    # Doc ranges into the compressed array: each byte position maps to
+    # (position - #continuation bytes strictly before it).  Doc bounds
+    # always sit on codepoint boundaries, so the map is exact there.
+    # searchsorted over the continuation POSITIONS (ncont elements) beats
+    # a len(flat)-sized cumsum on both memory and time.
+    cpos = np.nonzero(cont)[0]
+    cp_starts = dstarts - np.searchsorted(cpos, dstarts, side="left")
+    cp_ends = dends - np.searchsorted(cpos, dends, side="left")
     return cp, cp_starts, cp_ends
 
 
