@@ -362,6 +362,17 @@ class LangId:
                              np.uint64))
             for lang in self.langs
         ]
+        # ONE combined distinct-key table + per-lang membership bitmask:
+        # the fast path does a single searchsorted over candidate tokens
+        # instead of one per language, and per-lang hits bincount only the
+        # matched (stopword-occurrence) tokens.
+        self.max_word_len = max(len(w) for ws in _STOPWORDS.values()
+                                for w in ws)
+        self.all_keys = np.unique(np.concatenate(self.key_tables))
+        self.key_lang_mask = np.zeros(
+            (len(self.all_keys), len(self.langs)), bool)
+        for j, keys in enumerate(self.key_tables):
+            self.key_lang_mask[np.searchsorted(self.all_keys, keys), j] = True
         self.bmp = _bmp_tables()
 
     def _py_batch(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
@@ -389,10 +400,12 @@ class LangId:
         """Vectorized fast path (r5; was the gate stage's hottest function
         at 0.37 ms/doc): the 2000-codepoint prefix decodes to a uint32
         codepoint array (numpy shift/or passes), token runs come from the
-        BMP \\w mask (plus apostrophe), each token's first 8 lowercased
-        clamped codepoints pack into a uint64 key, and per-language hits
-        are a searchsorted against 10 sorted keys + one bincount — no
-        per-doc Python.  Docs with an astral codepoint or an
+        BMP \\w mask (plus apostrophe), match-candidate tokens (length <=
+        the longest stopword) pack their lowercased clamped codepoints
+        into a uint64 key, and hits come from ONE searchsorted against
+        the combined distinct stopword-key table + per-language bincounts
+        over the matched tokens — no per-doc Python.  Docs with an
+        astral codepoint or an
         expanding-lowercase word char recompute via `_py_batch` (the exact
         scalar formula)."""
         col = batch.column("text")
@@ -415,16 +428,30 @@ class LangId:
         counts = np.bincount(doc_idx, minlength=n_docs)
         cp_lc = np.minimum(bmp["lower"][cp_c], 0xFF).astype(np.uint8)
         lens = tok_ends - tok_starts
-        key = np.zeros(len(tok_starts), np.uint64)
-        for k in range(8):
-            msk = lens > k
-            key[msk] |= (cp_lc[tok_starts[msk] + k].astype(np.uint64)
+        # Keys only for tokens that CAN match: a token longer than the
+        # longest stopword (max_word_len < 8 cps) packs a non-zero byte
+        # where every stopword key is zero-padded, so it never matches —
+        # exact, and it shrinks both the pack loop (max_word_len rounds,
+        # not 8) and the searchsorted input (1.4-1.5x whole-stage,
+        # order-fair interleaved A/B, outputs identical).
+        cand = lens <= self.max_word_len
+        ctok = tok_starts[cand]
+        clens = lens[cand]
+        cdoc = doc_idx[cand]
+        key = np.zeros(len(ctok), np.uint64)
+        for k in range(self.max_word_len):
+            msk = clens > k
+            key[msk] |= (cp_lc[ctok[msk] + k].astype(np.uint64)
                          << np.uint64(8 * k))
+        all_keys = self.all_keys
+        pos = np.minimum(np.searchsorted(all_keys, key), len(all_keys) - 1)
+        memb = all_keys[pos] == key
+        kidx = pos[memb]
+        mdoc = cdoc[memb]
         hits = np.zeros((n_docs, len(self.langs)), np.int64)
-        for li, keys in enumerate(self.key_tables):
-            pos = np.minimum(np.searchsorted(keys, key), len(keys) - 1)
-            memb = keys[pos] == key
-            hits[:, li] = np.bincount(doc_idx[memb], minlength=n_docs)
+        for li in range(len(self.langs)):
+            hits[:, li] = np.bincount(mdoc[self.key_lang_mask[kidx, li]],
+                                      minlength=n_docs)
         best_li = hits.argmax(axis=1)  # first max = sorted-lang tiebreak
         best = hits[np.arange(n_docs), best_li]
         langs = np.asarray(self.langs, dtype=object)
