@@ -426,23 +426,26 @@ class LangId:
         tok_ends = np.nonzero(m & ~nxt)[0] + 1
         doc_idx = _doc_of(tok_starts, dends)
         counts = np.bincount(doc_idx, minlength=n_docs)
-        cp_lc = np.minimum(bmp["lower"][cp_c], 0xFF).astype(np.uint8)
         lens = tok_ends - tok_starts
         # Keys only for tokens that CAN match: a token longer than the
         # longest stopword (max_word_len < 8 cps) packs a non-zero byte
         # where every stopword key is zero-padded, so it never matches —
         # exact, and it shrinks both the pack loop (max_word_len rounds,
         # not 8) and the searchsorted input (1.4-1.5x whole-stage,
-        # order-fair interleaved A/B, outputs identical).
+        # order-fair interleaved A/B, outputs identical).  Lowercasing
+        # gathers per packed position (~sum(min(len,5)) values) instead
+        # of materializing a lowercase array over every codepoint — the
+        # full-width cp_lc was the stage's top cost once decode was fixed.
         cand = lens <= self.max_word_len
         ctok = tok_starts[cand]
         clens = lens[cand]
         cdoc = doc_idx[cand]
+        lower = bmp["lower"]
         key = np.zeros(len(ctok), np.uint64)
         for k in range(self.max_word_len):
             msk = clens > k
-            key[msk] |= (cp_lc[ctok[msk] + k].astype(np.uint64)
-                         << np.uint64(8 * k))
+            lc = np.minimum(lower[cp_c[ctok[msk] + k]], 0xFF)
+            key[msk] |= lc.astype(np.uint64) << np.uint64(8 * k)
         all_keys = self.all_keys
         pos = np.minimum(np.searchsorted(all_keys, key), len(all_keys) - 1)
         memb = all_keys[pos] == key
