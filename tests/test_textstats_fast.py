@@ -201,3 +201,30 @@ def test_text_column_layouts_dictionary_and_errors():
     with pytest.raises(TypeError, match="utf8 text column"):
         token_stats_batch(pa.table({"doc_id": pa.array([1], pa.int64()),
                                     "text": pa.array([7], pa.int64())}))
+
+
+def test_utf8_codepoints_decode_paths():
+    """Pins both branches of `_utf8_codepoints` against Python's own ord():
+    the pure-ASCII early return (codepoints == bytes) and the general
+    widen + continuation-mask-compress path, across prefix limits that cut
+    mid-string (never mid-codepoint: utf8_slice_codeunits slices cps)."""
+    from nem_mms_ray.ops.textstats import _utf8_bytes_view, _utf8_codepoints
+
+    ascii_docs = ["plain ascii", "", "x", "the and of to"]
+    mixed_docs = ascii_docs + [
+        "héllo wörld", "это текст", "日本語テキスト",
+        "emoji \U0001F600\U0001F680 end", "\U0010FFFF", "é" * 9,
+        "mixed 漢字 and latin words",
+    ]
+    for docs in (ascii_docs, mixed_docs):
+        col = pa.array(docs, pa.string())
+        for limit in (None, 2000, 4, 1):
+            flat, s, e = _utf8_bytes_view(col, limit)
+            cp, cs, ce = _utf8_codepoints(flat, s, e)
+            for i, d in enumerate(docs):
+                want = [ord(ch) for ch in (d if limit is None else d[:limit])]
+                assert cp[cs[i]:ce[i]].tolist() == want, (docs is mixed_docs, limit, i, d)
+    # ASCII early return really is the identity widen
+    flat, s, e = _utf8_bytes_view(pa.array(ascii_docs), None)
+    cp, cs, ce = _utf8_codepoints(flat, s, e)
+    assert len(cp) == len(flat) and (cp == flat).all()
