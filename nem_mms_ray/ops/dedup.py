@@ -450,8 +450,17 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
 
 
 # odd multipliers for the positional n-gram combine (uint64 wraparound)
+# first 5 entries pin every existing n<=5 gram hash (oracle-checked);
+# entries 6-16 (a splitmix64 stream, forced odd) extend the positional
+# polynomial to the n=8..13 windows benchmark decontamination uses
 _GRAM_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-                       0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64)
+                       0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63,
+                       0xE2AAC06220126021, 0x246E8D982BB2B96D,
+                       0x01DF430E373212BD, 0x7F2BA67227183A51,
+                       0xEF2298083637156F, 0xAB57CA4CD8942691,
+                       0xED25F55EE0440287, 0xA773472FA44095B7,
+                       0x42378AD4080EAD29, 0x6F2B9B5927A35C91,
+                       0xB4CC78941DAD7B75], dtype=np.uint64)
 
 
 def _combine_ngrams(hw: np.ndarray, n: int) -> np.ndarray:
