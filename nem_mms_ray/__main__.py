@@ -24,6 +24,11 @@ Usage:
          [--quality-min 0.5] [--lang en] [--near-dedup] [--verify]
          # the composed flagship: extract -> curate -> encode, with
          # stage-level checkpoint resume
+  python -m nem_mms_ray scrub DOCS.parquet -o OUT_DIR
+         # PII redaction (email/IP/SSN/phone/card) + corpus match totals
+  python -m nem_mms_ray decontam DOCS.parquet -o OUT_DIR \
+         --benchmark EVAL.parquet [--ngram 8] [--threshold 0]
+         # benchmark n-gram decontamination flags
 """
 
 from __future__ import annotations
@@ -238,6 +243,56 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    """PII-redact the text column of a documents table; writes the scrubbed
+    rows as parquet and prints the corpus-level per-pattern match totals."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.scrub import scrub_stats, scrub_text
+
+    ds = rd.read_parquet(_expand_inputs(args.inputs))
+    scrub_text(ds, text_col=args.text_col).write_parquet(args.out)
+    stats = scrub_stats(ds, text_col=args.text_col)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"rows": int(n), "redactions": stats}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
+def cmd_decontam(args) -> int:
+    """Flag corpus docs sharing word n-grams with a benchmark parquet
+    (same text column); writes (doc_id, n_grams, hits, overlap,
+    contaminated) parquet."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.decontam import decontaminate
+
+    ds = rd.read_parquet(_expand_inputs(args.inputs),
+                         columns=[args.id_col, args.text_col])
+    bench = rd.read_parquet(_expand_inputs([args.benchmark]),
+                            columns=[args.text_col])
+    out = decontaminate(ds, bench, ngram=args.ngram,
+                        threshold=args.threshold, id_col=args.id_col,
+                        text_col=args.text_col)
+    out.write_parquet(args.out)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    written = rd.read_parquet(args.out)
+    n = written.count()
+    n_bad = int(written.map_batches(
+        lambda t: {"c": [int(pc.sum(t.column("contaminated").cast(
+            pa.int64())).as_py() or 0)]},
+        batch_format="pyarrow").sum("c") or 0)
+    print(json.dumps({"rows": int(n), "contaminated": n_bad}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def cmd_gen(args) -> int:
     from nem_mms_ray.webtable import write_webtable
 
@@ -323,6 +378,30 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--no-resume", action="store_true")
     pw.add_argument("--num-cpus", type=int, default=None)
     pw.set_defaults(fn=cmd_web)
+
+    psc = sub.add_parser("scrub", help="PII-redact the text column"
+                                       " (email/IP/SSN/phone/card)")
+    psc.add_argument("inputs", nargs="+")
+    psc.add_argument("-o", "--out", required=True)
+    psc.add_argument("--text-col", default="text")
+    psc.add_argument("--num-cpus", type=int, default=None)
+    psc.set_defaults(fn=cmd_scrub)
+
+    pdx = sub.add_parser("decontam",
+                         help="flag docs sharing word n-grams with a"
+                              " benchmark parquet")
+    pdx.add_argument("inputs", nargs="+")
+    pdx.add_argument("-o", "--out", required=True)
+    pdx.add_argument("--benchmark", required=True,
+                     help="parquet file/dir with the benchmark texts")
+    pdx.add_argument("--ngram", type=int, default=8)
+    pdx.add_argument("--threshold", type=float, default=0.0,
+                     help="0 = any shared n-gram flags; else min overlap"
+                          " share of the doc's own grams")
+    pdx.add_argument("--id-col", default="doc_id")
+    pdx.add_argument("--text-col", default="text")
+    pdx.add_argument("--num-cpus", type=int, default=None)
+    pdx.set_defaults(fn=cmd_decontam)
 
     pg = sub.add_parser("gen", help="synthesize the FIXTURES webtable")
     pg.add_argument("-o", "--out", required=True)

@@ -123,3 +123,53 @@ def test_cli_near_dedup(ray_session, tmp_path, capsys):
     assert res["near_dup_nodes"] == 3 and res["clusters"] == 1
     t = pq.read_table(str(tmp_path / "nd")).to_pandas()
     assert dict(zip(t["id"], t["component"])) == {10: 10, 50: 10, 51: 10}
+
+
+def test_cli_scrub(ray_session, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nem_mms_ray.__main__ import main
+
+    texts = ["mail a@b.co now", "ip 10.0.0.1 and 10.0.0.2", "clean words"]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(3, dtype=np.int64)),
+                             "text": pa.array(texts)}), str(src))
+    assert main(["scrub", str(src), "-o", str(tmp_path / "sc")]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 3
+    assert res["redactions"] == {"email": 1, "ipv4": 2, "ssn": 0,
+                                 "phone": 0, "card": 0}
+    t = pq.read_table(str(tmp_path / "sc")).to_pandas().set_index("doc_id")
+    assert t.loc[0, "text"] == "mail <EMAIL> now"
+    assert t.loc[1, "text"] == "ip <IP> and <IP>"
+    assert t.loc[2, "text"] == "clean words"
+
+
+def test_cli_decontam(ray_session, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nem_mms_ray.__main__ import main
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(40)]
+    bench_texts = [texts[5], " ".join(rng.choice(vocab, 25))]
+    src = tmp_path / "docs.parquet"
+    bench = tmp_path / "bench.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                             "text": pa.array(texts)}), str(src))
+    pq.write_table(pa.table({"text": pa.array(bench_texts)}), str(bench))
+    assert main(["decontam", str(src), "-o", str(tmp_path / "dc"),
+                 "--benchmark", str(bench)]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 40 and res["contaminated"] == 1
+    t = pq.read_table(str(tmp_path / "dc")).to_pandas().set_index("doc_id")
+    assert bool(t.loc[5, "contaminated"]) and t.loc[5, "overlap"] == 1.0
