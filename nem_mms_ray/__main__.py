@@ -207,7 +207,10 @@ def cmd_web(args) -> int:
     summary = web_pipeline(
         args.inputs, args.out, quality_min=args.quality_min, lang=args.lang,
         near_dedup=args.near_dedup, threshold=args.threshold,
-        verify=args.verify, resume=not args.no_resume)
+        verify=args.verify, resume=not args.no_resume,
+        scrub=args.scrub, domain_cap=args.domain_cap,
+        benchmark_paths=args.benchmark or None,
+        decontam_ngram=args.decontam_ngram)
     print(json.dumps(summary))
     if owned:
         ray.shutdown()
@@ -376,6 +379,14 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--threshold", type=float, default=1.0)
     pw.add_argument("--verify", action="store_true")
     pw.add_argument("--no-resume", action="store_true")
+    pw.add_argument("--scrub", action="store_true",
+                    help="PII-redact extracted text before curation")
+    pw.add_argument("--domain-cap", type=int, default=None,
+                    help="keep at most N docs per host (pre-curation)")
+    pw.add_argument("--benchmark", nargs="*", default=None,
+                    help="benchmark parquet(s); drop docs sharing word "
+                         "n-grams with them (post-dedup)")
+    pw.add_argument("--decontam-ngram", type=int, default=8)
     pw.add_argument("--num-cpus", type=int, default=None)
     pw.set_defaults(fn=cmd_web)
 

@@ -281,6 +281,58 @@ def drop_ids(ds, drop_ds, id_col: str = "doc_id",
     return both.groupby("bucket").map_groups(keep_bucket, batch_format="pandas")
 
 
+def keep_ids(ds, keep_ds, id_col: str = "doc_id",
+             max_broadcast_ids: int = 5_000_000, n_buckets: int = 64):
+    """Semi-join: rows of `ds` whose `id_col` DOES appear in `keep_ds`
+    (a Dataset with an `id` column).  All other columns pass through —
+    the generic twin of `drop_ids`, used by the web pipeline's
+    per-domain cap (the winner set filters the corpus before curation).
+
+    Same two auto-selected shapes: keep side is bare int64 ids, so
+    broadcast covers up to `max_broadcast_ids` (~40 MB at 5M); above it
+    a hash-bucket union semi-join keeps everything worker-side."""
+    import ray
+
+    n_keep = keep_ds.count()
+    if n_keep == 0:
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow")
+    if n_keep <= max_broadcast_ids:
+        sk = np.sort(keep_ds.to_pandas()["id"].to_numpy(np.int64))
+        ref = ray.put(sk)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            ids = np.asarray(batch.column(id_col), np.int64)
+            pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
+            return batch.filter(pa.array(s[pos] == ids))
+
+        return ds.map_batches(semi, batch_format="pyarrow")
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), np.int64)
+        return (t.append_column("side", pa.array(np.ones(len(ids), np.int8)))
+                 .append_column("bucket",
+                                pa.array((ids % n_buckets).astype(np.int32))))
+
+    def tag_keep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("id"), np.int64)
+        return pa.table({id_col: pa.array(ids),
+                         "side": pa.array(np.zeros(len(ids), np.int8)),
+                         "bucket": pa.array(
+                             (ids % n_buckets).astype(np.int32))})
+
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        wanted = g.loc[g["side"] == 0, id_col]
+        out = g[(g["side"] == 1) & g[id_col].isin(wanted)]
+        return out.drop(columns=["side", "bucket"])
+
+    both = ds.map_batches(tag_payload, batch_format="pyarrow").union(
+        keep_ds.map_batches(tag_keep, batch_format="pyarrow"))
+    return both.groupby("bucket").map_groups(keep_bucket,
+                                             batch_format="pandas")
+
+
 def curate_documents_near(ds_factory, quality_min: float = 0.0,
                           lang: str | None = None, threshold: float = 1.0,
                           id_col: str = "doc_id", text_col: str = "text",

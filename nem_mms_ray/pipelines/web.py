@@ -120,7 +120,9 @@ def _run_stage(stage_dir: Path, plan: dict, write_fn) -> dict:
 def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
                  lang: str | None = None, near_dedup: bool = False,
                  threshold: float = 1.0, target_bytes: int = 64 << 20,
-                 verify: bool = False, resume: bool = True) -> dict:
+                 verify: bool = False, resume: bool = True,
+                 scrub: bool = False, domain_cap: int | None = None,
+                 benchmark_paths=None, decontam_ngram: int = 8) -> dict:
     """Run extract -> curate -> encode over a web table; returns a
     summary dict with per-stage rows, seconds, and the encode ratio.
 
@@ -132,11 +134,28 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
     completion marker whose recorded parameters match this call's —
     stage-level, crash-atomic checkpointing (tmp-dir + rename, marker
     written last) on top of encode's per-partition manifest.
+
+    Optional hygiene stages, all folded into the curate checkpoint (and
+    pinned in its plan, so changing any of them re-runs the stage):
+    - `domain_cap`: per-host quota applied BEFORE curation (first
+      `domain_cap` docs per host by doc_id, `ops/urltools.domain_cap`) —
+      capping the raw crawl early bounds the expensive near-dedup work
+      downstream; the winner set filters the corpus via the size-gated
+      `keep_ids` semi-join.
+    - `scrub`: PII redaction (`ops/scrub`) of the extracted text before
+      the quality gate, so dedup/quality/encode all see scrubbed text.
+    - `benchmark_paths`: parquet file(s) with a `text` column;
+      benchmark-decontamination (`ops/decontam`, word `decontam_ngram`-
+      grams) drops contaminated docs AFTER dedup — the conventional
+      last-step ordering, and the cheapest (the corpus is smallest).
+      The plan pins the benchmark by path list + ngram (same convention
+      as the extract stage's input pin).
     """
     import ray.data as rd
 
     from nem_mms_ray.ops.curate import (curate_documents_near,
-                                        curate_documents_with_text)
+                                        curate_documents_with_text,
+                                        drop_ids, keep_ids)
     from nem_mms_ray.ops.webextract import extract_text
     from nem_mms_ray.pipelines.encode import encode_files
     from nem_mms_ray.state.manifest import Manifest
@@ -175,18 +194,42 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
     # upstream extract plan+rows pin the lineage: a re-extracted (or
     # differently-parameterized) input invalidates this checkpoint too
     t0 = time.monotonic()
+    bench_pin = (sorted(str(p) for p in benchmark_paths)
+                 if benchmark_paths else None)
     cur_plan = {"stage": "curate", "quality_min": quality_min, "lang": lang,
                 "near_dedup": near_dedup,
                 "threshold": threshold if near_dedup else None,
+                "scrub": scrub, "domain_cap": domain_cap,
+                "benchmark": ({"paths": bench_pin, "ngram": decontam_ngram}
+                              if bench_pin else None),
                 "upstream": {"plan": ext_plan, "rows": int(ext_rec["rows"])}}
     cur_rec = resume and _stage_complete(curated, cur_plan)
     cur_reused = bool(cur_rec)
     if not cur_rec:
 
         def write_curate(tmp: str) -> None:
+            cap_winners = None
+            if domain_cap is not None:
+                from nem_mms_ray.ops.urltools import domain_cap as _dcap
+
+                cap_winners = _dcap(
+                    rd.read_parquet(str(extracted),
+                                    columns=["doc_id", "url"]),
+                    cap=domain_cap).map_batches(
+                        lambda t: pa.table(
+                            {"id": t.column("doc_id").cast(pa.int64())}),
+                        batch_format="pyarrow").materialize()
+
             def src():
-                return rd.read_parquet(str(extracted),
-                                       columns=["doc_id", "text"])
+                ds = rd.read_parquet(str(extracted),
+                                     columns=["doc_id", "text"])
+                if cap_winners is not None:
+                    ds = keep_ids(ds, cap_winners)
+                if scrub:
+                    from nem_mms_ray.ops.scrub import scrub_text
+
+                    ds = scrub_text(ds)
+                return ds
 
             if near_dedup:
                 cur = curate_documents_near(src, quality_min=quality_min,
@@ -194,6 +237,17 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
             else:
                 cur = curate_documents_with_text(src, quality_min=quality_min,
                                                  lang=lang)
+            if bench_pin:
+                from nem_mms_ray.ops.decontam import decontaminate
+
+                cur = cur.materialize()  # consumed by decontam + anti-join
+                flagged = decontaminate(
+                    cur, rd.read_parquet(bench_pin, columns=["text"]),
+                    ngram=decontam_ngram).map_batches(
+                        lambda t: pa.table({"id": t.column("doc_id").filter(
+                            t.column("contaminated")).cast(pa.int64())}),
+                        batch_format="pyarrow")
+                cur = drop_ids(cur, flagged)
             cur.write_parquet(tmp)
 
         cur_rec = _run_stage(curated, cur_plan, write_curate)

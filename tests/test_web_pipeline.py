@@ -188,3 +188,87 @@ def test_web_cli(ray_session, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["stages"]["encode"]["rows"] == 4
+
+def test_web_pipeline_hygiene_stages(ray_session, tmp_path):
+    """domain_cap + scrub + benchmark decontamination, composed: the cap
+    bounds the mega-host BEFORE curation, scrub redacts PII before the
+    gate (so the encoded corpus is scrubbed), and the benchmark anti-join
+    drops the contaminated doc AFTER dedup — all inside the curate
+    checkpoint, pinned in its plan."""
+    import ray.data as rd
+
+    from nem_mms_ray.pipelines.web import _url_ids, web_pipeline
+
+    def words(tag, n=120):
+        return " ".join(f"{tag}{i:03d}" for i in range(n))
+
+    BEN = words("ben")
+    PII = f"contact me a@b.co now {words('pii')}"
+    rows = (
+        [{"url": f"http://big.com/{i}",
+          "html": f"<p>{words(f'big{i}x')}</p>".encode()} for i in range(4)]
+        + [{"url": "http://small.org/pii", "html": f"<p>{PII}</p>".encode()},
+           {"url": "http://small.org/copy",
+            "html": f"<p>{BEN}</p>".encode()}])
+    src = tmp_path / "web.parquet"
+    _write_webtable(str(src), rows)
+    bench = tmp_path / "bench.parquet"
+    pq.write_table(pa.table({"text": pa.array([BEN])}), bench)
+
+    out = tmp_path / "out"
+    s = web_pipeline([str(src)], out, domain_cap=2, scrub=True,
+                     benchmark_paths=[bench])
+    assert s["stages"]["extract"]["rows"] == 6
+    # big.com 4 -> 2 (cap), small.org keeps pii + copy, copy then
+    # decontaminated away -> 3 survivors
+    assert s["stages"]["curate"]["rows"] == 3
+
+    cur = pq.read_table(sorted((out / "curated").glob("*.parquet"))
+                        ).to_pandas()
+    texts = set(cur["text"])
+    assert BEN not in texts                      # decontaminated
+    assert not any("a@b.co" in t for t in texts)  # scrubbed...
+    assert any("<EMAIL>" in t for t in texts)     # ...to the placeholder
+
+    # the cap kept exactly the 2 big.com urls with the LOWEST doc_id
+    # (order_col) — deterministic, not batch-dependent
+    big_urls = [f"http://big.com/{i}" for i in range(4)]
+    big_ids = dict(zip(_url_ids(big_urls).tolist(), big_urls))
+    kept = sorted(big_ids)[:2]
+    assert set(cur["doc_id"]) & set(big_ids) == set(kept)
+
+    # same params resume: curate checkpoint reused (outputs untouched)
+    before = {p.name: p.stat().st_mtime_ns
+              for p in (out / "curated").glob("*.parquet")}
+    web_pipeline([str(src)], out, domain_cap=2, scrub=True,
+                 benchmark_paths=[bench])
+    after = {p.name: p.stat().st_mtime_ns
+             for p in (out / "curated").glob("*.parquet")}
+    assert before == after
+
+    # hygiene params are plan-pinned: dropping them re-runs the stage
+    s3 = web_pipeline([str(src)], out)
+    assert s3["stages"]["curate"]["rows"] == 6
+    cur3 = pq.read_table(sorted((out / "curated").glob("*.parquet"))
+                         ).to_pandas()
+    assert any("a@b.co" in t for t in cur3["text"])  # unscrubbed re-run
+
+
+def test_keep_ids_both_regimes(ray_session):
+    """keep_ids (the generic semi-join twin of drop_ids): broadcast and
+    bucketed regimes agree, empty keep set yields empty output."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.curate import keep_ids
+
+    ids = np.arange(1000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "v": pa.array(ids * 2)}))
+    keep = rd.from_arrow(pa.table({"id": pa.array(ids[::3])}))
+    a = keep_ids(ds, keep).to_pandas().sort_values("doc_id")
+    b = keep_ids(ds, keep, max_broadcast_ids=0).to_pandas() \
+        .sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist() == ids[::3].tolist()
+    assert a["v"].tolist() == (ids[::3] * 2).tolist()
+    empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+    assert keep_ids(ds, empty).count() == 0
