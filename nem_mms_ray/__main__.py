@@ -383,7 +383,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="PII-redact extracted text before curation")
     pw.add_argument("--domain-cap", type=int, default=None,
                     help="keep at most N docs per host (pre-curation)")
-    pw.add_argument("--benchmark", nargs="*", default=None,
+    pw.add_argument("--benchmark", nargs="+", default=None,
                     help="benchmark parquet(s); drop docs sharing word "
                          "n-grams with them (post-dedup)")
     pw.add_argument("--decontam-ngram", type=int, default=8)

@@ -229,34 +229,34 @@ def curated_text_semijoin(source_ds, winners_ds, id_col: str = "doc_id",
                 .map_groups(merge_bucket, batch_format="pandas"))
 
 
-def drop_ids(ds, drop_ds, id_col: str = "doc_id",
-             max_broadcast_ids: int = 5_000_000, n_buckets: int = 64):
-    """Anti-join: rows of `ds` whose `id_col` does NOT appear in `drop_ds`
-    (a Dataset with an `id` column).  All other columns pass through.
+def _id_join(ds, ids_ds, keep: bool, id_col: str,
+             max_broadcast_ids: int, n_buckets: int):
+    """Shared body of `drop_ids` (keep=False) and `keep_ids` (keep=True):
+    filter `ds` by membership of `id_col` in `ids_ds`'s `id` column.
 
-    Same two shapes as `curated_text_semijoin`, auto-selected on the drop
-    count: the drop side is bare int64 ids (8 B each — 5M ids ~ 40 MB), so
-    broadcast covers any realistic near-dup fraction; above the threshold
-    a hash-bucket union anti-join keeps everything worker-side (payload
-    rows cross the shuffle once — unavoidable without knowing the set)."""
+    Two auto-selected shapes: the id side is bare int64s (8 B each — 5M
+    ids ~ 40 MB), so broadcast + per-batch searchsorted covers any
+    realistic set; above the threshold a hash-bucket union (anti-)join
+    keeps everything worker-side (payload rows cross the shuffle once —
+    unavoidable without knowing the set)."""
     import ray
 
-    n_drop = drop_ds.count()
-    if n_drop == 0:
-        return ds
-    if n_drop <= max_broadcast_ids:
-        sk = np.sort(drop_ds.to_pandas()["id"].to_numpy(np.int64))
+    n_ids = ids_ds.count()
+    if n_ids == 0:
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow") if keep else ds
+    if n_ids <= max_broadcast_ids:
+        sk = np.sort(ids_ds.to_pandas()["id"].to_numpy(np.int64))
         ref = ray.put(sk)
 
-        def anti(batch: pa.Table) -> pa.Table:
+        def member_filter(batch: pa.Table) -> pa.Table:
             s = ray.get(ref)
             ids = np.asarray(batch.column(id_col), np.int64)
-            if not len(s):
-                return batch
             pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
-            return batch.filter(pa.array(s[pos] != ids))
+            hit = s[pos] == ids
+            return batch.filter(pa.array(hit if keep else ~hit))
 
-        return ds.map_batches(anti, batch_format="pyarrow")
+        return ds.map_batches(member_filter, batch_format="pyarrow")
 
     def tag_payload(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_col), np.int64)
@@ -264,21 +264,32 @@ def drop_ids(ds, drop_ds, id_col: str = "doc_id",
                  .append_column("bucket",
                                 pa.array((ids % n_buckets).astype(np.int32))))
 
-    def tag_drop(t: pa.Table) -> pa.Table:
+    def tag_ids(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("id"), np.int64)
-        cols = {id_col: pa.array(ids),
-                "side": pa.array(np.zeros(len(ids), np.int8)),
-                "bucket": pa.array((ids % n_buckets).astype(np.int32))}
-        return pa.table(cols)
+        return pa.table({id_col: pa.array(ids),
+                         "side": pa.array(np.zeros(len(ids), np.int8)),
+                         "bucket": pa.array(
+                             (ids % n_buckets).astype(np.int32))})
 
-    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        gone = g.loc[g["side"] == 0, id_col]
-        out = g[(g["side"] == 1) & ~g[id_col].isin(gone)]
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        named = g.loc[g["side"] == 0, id_col]
+        member = g[id_col].isin(named)
+        out = g[(g["side"] == 1) & (member if keep else ~member)]
         return out.drop(columns=["side", "bucket"])
 
     both = ds.map_batches(tag_payload, batch_format="pyarrow").union(
-        drop_ds.map_batches(tag_drop, batch_format="pyarrow"))
-    return both.groupby("bucket").map_groups(keep_bucket, batch_format="pandas")
+        ids_ds.map_batches(tag_ids, batch_format="pyarrow"))
+    return both.groupby("bucket").map_groups(filter_bucket,
+                                             batch_format="pandas")
+
+
+def drop_ids(ds, drop_ds, id_col: str = "doc_id",
+             max_broadcast_ids: int = 5_000_000, n_buckets: int = 64):
+    """Anti-join: rows of `ds` whose `id_col` does NOT appear in `drop_ds`
+    (a Dataset with an `id` column).  All other columns pass through.
+    Shapes: see `_id_join`."""
+    return _id_join(ds, drop_ds, keep=False, id_col=id_col,
+                    max_broadcast_ids=max_broadcast_ids, n_buckets=n_buckets)
 
 
 def keep_ids(ds, keep_ds, id_col: str = "doc_id",
@@ -287,56 +298,16 @@ def keep_ids(ds, keep_ds, id_col: str = "doc_id",
     (a Dataset with an `id` column).  All other columns pass through —
     the generic twin of `drop_ids`, used by the web pipeline's
     per-domain cap (the winner set filters the corpus before curation).
-
-    Same two auto-selected shapes: keep side is bare int64 ids, so
-    broadcast covers up to `max_broadcast_ids` (~40 MB at 5M); above it
-    a hash-bucket union semi-join keeps everything worker-side."""
-    import ray
-
-    n_keep = keep_ds.count()
-    if n_keep == 0:
-        return ds.map_batches(lambda t: t.slice(0, 0),
-                              batch_format="pyarrow")
-    if n_keep <= max_broadcast_ids:
-        sk = np.sort(keep_ds.to_pandas()["id"].to_numpy(np.int64))
-        ref = ray.put(sk)
-
-        def semi(batch: pa.Table) -> pa.Table:
-            s = ray.get(ref)
-            ids = np.asarray(batch.column(id_col), np.int64)
-            pos = np.clip(np.searchsorted(s, ids), 0, len(s) - 1)
-            return batch.filter(pa.array(s[pos] == ids))
-
-        return ds.map_batches(semi, batch_format="pyarrow")
-
-    def tag_payload(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column(id_col), np.int64)
-        return (t.append_column("side", pa.array(np.ones(len(ids), np.int8)))
-                 .append_column("bucket",
-                                pa.array((ids % n_buckets).astype(np.int32))))
-
-    def tag_keep(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("id"), np.int64)
-        return pa.table({id_col: pa.array(ids),
-                         "side": pa.array(np.zeros(len(ids), np.int8)),
-                         "bucket": pa.array(
-                             (ids % n_buckets).astype(np.int32))})
-
-    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        wanted = g.loc[g["side"] == 0, id_col]
-        out = g[(g["side"] == 1) & g[id_col].isin(wanted)]
-        return out.drop(columns=["side", "bucket"])
-
-    both = ds.map_batches(tag_payload, batch_format="pyarrow").union(
-        keep_ds.map_batches(tag_keep, batch_format="pyarrow"))
-    return both.groupby("bucket").map_groups(keep_bucket,
-                                             batch_format="pandas")
+    Shapes: see `_id_join`; an empty keep set yields an empty result."""
+    return _id_join(ds, keep_ds, keep=True, id_col=id_col,
+                    max_broadcast_ids=max_broadcast_ids, n_buckets=n_buckets)
 
 
 def curate_documents_near(ds_factory, quality_min: float = 0.0,
                           lang: str | None = None, threshold: float = 1.0,
                           id_col: str = "doc_id", text_col: str = "text",
-                          minhash_kw: dict | None = None, **semijoin_kw):
+                          minhash_kw: dict | None = None, text_map=None,
+                          **semijoin_kw):
     """The full curation endgame (VERDICT r3 item 8): gate + exact dedup +
     text semi-join, then MinHash near-dup pairs -> connected components ->
     keep only each component's representative (its minimum id).
@@ -356,7 +327,7 @@ def curate_documents_near(ds_factory, quality_min: float = 0.0,
 
     curated = curate_documents_with_text(
         ds_factory, quality_min=quality_min, lang=lang, id_col=id_col,
-        text_col=text_col, **semijoin_kw).materialize()
+        text_col=text_col, text_map=text_map, **semijoin_kw).materialize()
     near_in = curated.select_columns([id_col, text_col])
     if (id_col, text_col) != ("doc_id", "text"):
         near_in = near_in.map_batches(
@@ -374,14 +345,24 @@ def curate_documents_near(ds_factory, quality_min: float = 0.0,
 def curate_documents_with_text(ds_factory, quality_min: float = 0.0,
                                lang: str | None = None,
                                id_col: str = "doc_id", text_col: str = "text",
-                               **semijoin_kw):
+                               text_map=None, **semijoin_kw):
     """curate_documents + curated_text_semijoin in one call.
 
     `ds_factory` is a zero-arg callable returning a fresh source Dataset —
     the corpus is read TWICE (label+dedup pass, then the semi-join pass);
     passing a factory instead of a Dataset makes the double read explicit
-    and lets the second pass prune to (id, text) columns at the read."""
-    winners = curate_documents(ds_factory(), quality_min=quality_min,
+    and lets the second pass prune to (id, text) columns at the read.
+
+    `text_map` (optional, Dataset -> Dataset): a PER-ROW-DETERMINISTIC
+    transform of `text_col` only (e.g. `ops/scrub.scrub_text`).  It is
+    applied to the full corpus in the label pass — so the quality gate,
+    fingerprints and dedup all see the transformed text — but in the
+    semi-join pass only to the WINNERS (after the filter), which is
+    output-identical (map∘filter == filter∘map for a per-row transform)
+    and skips transforming losers a second time."""
+    gate_src = (lambda: text_map(ds_factory())) if text_map else ds_factory
+    winners = curate_documents(gate_src(), quality_min=quality_min,
                                lang=lang, id_col=id_col, text_col=text_col)
-    return curated_text_semijoin(ds_factory(), winners, id_col=id_col,
-                                 text_col=text_col, **semijoin_kw)
+    out = curated_text_semijoin(ds_factory(), winners, id_col=id_col,
+                                text_col=text_col, **semijoin_kw)
+    return text_map(out) if text_map else out

@@ -220,33 +220,45 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
                             {"id": t.column("doc_id").cast(pa.int64())}),
                         batch_format="pyarrow").materialize()
 
+            text_map = None
+            if scrub:
+                from nem_mms_ray.ops.scrub import scrub_text
+
+                text_map = scrub_text
+
             def src():
                 ds = rd.read_parquet(str(extracted),
                                      columns=["doc_id", "text"])
                 if cap_winners is not None:
                     ds = keep_ids(ds, cap_winners)
-                if scrub:
-                    from nem_mms_ray.ops.scrub import scrub_text
-
-                    ds = scrub_text(ds)
                 return ds
 
+            # scrub rides as text_map: the gate/dedup pass sees scrubbed
+            # text, but the semi-join pass scrubs only the winners —
+            # output-identical and one less full-corpus RE2 pass
             if near_dedup:
                 cur = curate_documents_near(src, quality_min=quality_min,
-                                            lang=lang, threshold=threshold)
+                                            lang=lang, threshold=threshold,
+                                            text_map=text_map)
             else:
                 cur = curate_documents_with_text(src, quality_min=quality_min,
-                                                 lang=lang)
+                                                 lang=lang, text_map=text_map)
             if bench_pin:
                 from nem_mms_ray.ops.decontam import decontaminate
 
+                # the benchmark must see the SAME text transform as the
+                # corpus: an unscrubbed benchmark doc whose grams span a
+                # PII token would never match its scrubbed corpus copy
+                bench_ds = rd.read_parquet(bench_pin, columns=["text"])
+                if text_map is not None:
+                    bench_ds = text_map(bench_ds)
                 cur = cur.materialize()  # consumed by decontam + anti-join
                 flagged = decontaminate(
-                    cur, rd.read_parquet(bench_pin, columns=["text"]),
-                    ngram=decontam_ngram).map_batches(
+                    cur, bench_ds, ngram=decontam_ngram).map_batches(
                         lambda t: pa.table({"id": t.column("doc_id").filter(
                             t.column("contaminated")).cast(pa.int64())}),
-                        batch_format="pyarrow")
+                        batch_format="pyarrow").materialize()
+                # ^ materialized: drop_ids consumes it twice (count + ids)
                 cur = drop_ids(cur, flagged)
             cur.write_parquet(tmp)
 

@@ -272,3 +272,32 @@ def test_keep_ids_both_regimes(ray_session):
     assert a["v"].tolist() == (ids[::3] * 2).tolist()
     empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
     assert keep_ids(ds, empty).count() == 0
+
+
+def test_web_pipeline_scrub_benchmark_interaction(ray_session, tmp_path):
+    """With scrub=True the benchmark must see the SAME redaction as the
+    corpus: a benchmark doc whose n-gram windows span a PII token would
+    otherwise never match its scrubbed corpus copy and the contaminated
+    doc would be kept (review r5 finding)."""
+    from nem_mms_ray.pipelines.web import web_pipeline
+
+    # short doc (< ngram words after the email) -> every window spans the
+    # PII token, the adversarial case
+    BEN = "please mail bob@leak.io with answer forty two exactly"
+    rows = [
+        {"url": "http://s/copy", "html": f"<p>{BEN}</p>".encode()},
+        {"url": "http://s/other",
+         "html": f"<p>{' '.join(f'k{i:03d}' for i in range(40))}</p>"
+                 .encode()},
+    ]
+    src = tmp_path / "web.parquet"
+    _write_webtable(str(src), rows)
+    bench = tmp_path / "bench.parquet"
+    pq.write_table(pa.table({"text": pa.array([BEN])}), bench)
+
+    s = web_pipeline([str(src)], tmp_path / "out", scrub=True,
+                     benchmark_paths=[bench])
+    assert s["stages"]["curate"]["rows"] == 1  # the copy was dropped
+    cur = pq.read_table(sorted((tmp_path / "out" / "curated")
+                               .glob("*.parquet"))).to_pandas()
+    assert all("bob@leak.io" not in t for t in cur["text"])
