@@ -124,9 +124,26 @@ def run_bench() -> dict:
 
         wf_out = BENCH_OUT / "web_flagship"
         shutil.rmtree(wf_out, ignore_errors=True)
+        # NEM_MMS_WEB_HYGIENE=1: run the flagship WITH the r5 hygiene
+        # stages (scrub + domain_cap=200 + 50-doc decontam benchmark
+        # drawn from the table's own reference texts) — the scaling
+        # protocol then measures the hygiene-composed chain
+        hygiene_kw: dict = {}
+        if os.environ.get("NEM_MMS_WEB_HYGIENE") == "1":
+            import pyarrow.parquet as _pq
+
+            bench_file = BENCH_OUT / "web_flagship_bench.parquet"
+            bench_file.parent.mkdir(parents=True, exist_ok=True)
+            _bt = _pq.read_table(web_paths[0], columns=["text"])
+            _pq.write_table(
+                pa.table({"text": _bt.column("text").slice(100, 50)}),
+                bench_file)
+            hygiene_kw = dict(scrub=True, domain_cap=200,
+                              benchmark_paths=[str(bench_file)])
         t0 = time.monotonic()
         s = web_pipeline(web_paths, wf_out, quality_min=0.5, lang="en",
-                         near_dedup=True, threshold=0.9, resume=False)
+                         near_dedup=True, threshold=0.9, resume=False,
+                         **hygiene_kw)
         queries["web_flagship"] = round(time.monotonic() - t0, 3)
         extras["web_stage_sec"] = {k: v["sec"] for k, v in s["stages"].items()}
         extras["web_curated_rows"] = s["stages"]["curate"]["rows"]
