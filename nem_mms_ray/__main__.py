@@ -29,6 +29,9 @@ Usage:
   python -m nem_mms_ray decontam DOCS.parquet -o OUT_DIR \
          --benchmark EVAL.parquet [--ngram 8] [--threshold 0]
          # benchmark n-gram decontamination flags
+  python -m nem_mms_ray chunk DOCS.parquet -o OUT_DIR \
+         [--max-tokens 512] [--stride 512]
+         # context-window packing: one row per token window
 """
 
 from __future__ import annotations
@@ -296,6 +299,27 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Split each doc's text into fixed-size token windows (context-window
+    packing); writes (doc_id, chunk_id, text, n_tokens) parquet."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.chunking import chunk_documents
+
+    ds = rd.read_parquet(_expand_inputs(args.inputs),
+                         columns=[args.id_col, args.text_col])
+    chunk_documents(ds, max_tokens=args.max_tokens, stride=args.stride,
+                    id_col=args.id_col,
+                    text_col=args.text_col).write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"chunks": int(n), "max_tokens": args.max_tokens,
+                      "stride": args.stride or args.max_tokens}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def cmd_gen(args) -> int:
     from nem_mms_ray.webtable import write_webtable
 
@@ -413,6 +437,20 @@ def main(argv: list[str] | None = None) -> int:
     pdx.add_argument("--text-col", default="text")
     pdx.add_argument("--num-cpus", type=int, default=None)
     pdx.set_defaults(fn=cmd_decontam)
+
+    pck = sub.add_parser("chunk",
+                         help="split docs into fixed-size token windows"
+                              " (context-window packing)")
+    pck.add_argument("inputs", nargs="+")
+    pck.add_argument("-o", "--out", required=True)
+    pck.add_argument("--max-tokens", type=int, default=512)
+    pck.add_argument("--stride", type=int, default=None,
+                     help="window start step; default max-tokens"
+                          " (non-overlapping)")
+    pck.add_argument("--id-col", default="doc_id")
+    pck.add_argument("--text-col", default="text")
+    pck.add_argument("--num-cpus", type=int, default=None)
+    pck.set_defaults(fn=cmd_chunk)
 
     pg = sub.add_parser("gen", help="synthesize the FIXTURES webtable")
     pg.add_argument("-o", "--out", required=True)
