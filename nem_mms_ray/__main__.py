@@ -12,7 +12,10 @@ Usage:
   python -m nem_mms_ray encode IN.parquet [IN2...] -o OUT_DIR [--target-mb 64]
   python -m nem_mms_ray verify IN.parquet [IN2...] -o OUT_DIR [--target-mb 64]
   python -m nem_mms_ray decode OUT_DIR -o PLAIN_DIR
-  python -m nem_mms_ray describe OUT_DIR
+  python -m nem_mms_ray describe OUT_DIR [--fsck [--repair]]
+         # --fsck: manifest-vs-disk reconciliation (the reference's
+         # stubbed `manage update`, implemented); --repair deletes
+         # stale records/orphans so resume re-encodes them
   python -m nem_mms_ray gen -o DIR --rows 50000
   python -m nem_mms_ray curate DOCS.parquet -o OUT.parquet \
          [--quality-min 0.5] [--lang en]
@@ -221,9 +224,20 @@ def cmd_web(args) -> int:
 
 
 def cmd_describe(args) -> int:
-    """Codec registry + manifest metrics — no Ray session needed."""
+    """Codec registry + manifest metrics — no Ray session needed.
+    --fsck reconciles the manifest against the on-disk encoded files
+    (the reference's `manage update`, implemented: main.rs:148-150 stubs
+    it); --repair deletes stale records/orphans so resume re-encodes."""
     from nem_mms_ray.codecs import REGISTRY
     from nem_mms_ray.state.manifest import Manifest
+
+    if getattr(args, "fsck", False):
+        if not args.out_dir:
+            print("describe --fsck requires OUT_DIR", file=sys.stderr)
+            return 2
+        rep = Manifest(args.out_dir).fsck(repair=args.repair)
+        print(json.dumps(rep, indent=2))
+        return 0 if rep["clean"] or args.repair else 1
 
     out = {"codecs": {}}
     for name in sorted(REGISTRY):
@@ -358,6 +372,13 @@ def main(argv: list[str] | None = None) -> int:
 
     pd_ = sub.add_parser("describe", help="codec registry + manifest metrics")
     pd_.add_argument("out_dir", nargs="?", default=None)
+    pd_.add_argument("--fsck", action="store_true",
+                     help="reconcile manifest vs on-disk encoded files"
+                          " (missing outputs, size drift, orphans);"
+                          " exit 1 if findings")
+    pd_.add_argument("--repair", action="store_true",
+                     help="with --fsck: delete stale records + orphan files"
+                          " so a resume re-encodes exactly those partitions")
     pd_.set_defaults(fn=cmd_describe)
 
     ps = sub.add_parser("scan", help="zone-map range scan over encoded partitions")

@@ -148,6 +148,66 @@ class Manifest:
                 recs.append(PartitionRecord(**json.load(f)))
         return recs
 
+    def fsck(self, repair: bool = False) -> dict:
+        """Reconcile the manifest against the on-disk encoded files — the
+        implemented analog of the reference's `manage update`, which is
+        stubbed there ("Not implemented yet, sorry",
+        /root/reference/src/main.rs:148-150) over the same state the
+        filename scheme in src/manage/state.rs round-trips.
+
+        Checks, per record: unparseable JSON (`corrupt_record`), a done
+        record whose output file is gone (`missing_output`) or whose
+        on-disk size drifted from the recorded file_bytes (`size_drift`);
+        plus encoded parquet files in out_dir referenced by no record
+        (`orphan_file` — including the output of a corrupt record, which
+        can no longer vouch for it).  Read-only by default; `repair=True`
+        deletes the stale records (so resume re-encodes exactly those
+        partitions) and the orphan files.  Returns the finding lists +
+        counts."""
+        out = {"checked": 0, "ok": 0, "corrupt_record": [],
+               "missing_output": [], "size_drift": [], "orphan_file": [],
+               "repaired": repair}
+        referenced: set[str] = set()
+        stale_records: list[Path] = []
+        if self.dir.exists():
+            for p in sorted(self.dir.glob("part-*.json")):
+                out["checked"] += 1
+                try:
+                    with open(p) as f:
+                        rec = PartitionRecord(**json.load(f))
+                except (json.JSONDecodeError, OSError, TypeError):
+                    out["corrupt_record"].append(p.name)
+                    stale_records.append(p)
+                    continue
+                if rec.output_file:
+                    referenced.add(str(Path(rec.output_file).resolve()))
+                if rec.done and rec.output_file:
+                    op = Path(rec.output_file)
+                    if not op.exists():
+                        out["missing_output"].append(
+                            {"pid": rec.pid, "output_file": rec.output_file})
+                        stale_records.append(p)
+                        continue
+                    size = op.stat().st_size
+                    if rec.file_bytes and size != rec.file_bytes:
+                        out["size_drift"].append(
+                            {"pid": rec.pid, "output_file": rec.output_file,
+                             "recorded": rec.file_bytes, "on_disk": size})
+                        stale_records.append(p)
+                        continue
+                out["ok"] += 1
+        orphans = [f for f in sorted(self.out_dir.glob("*.parquet"))
+                   if str(f.resolve()) not in referenced]
+        out["orphan_file"] = [f.name for f in orphans]
+        if repair:
+            for p in stale_records:
+                p.unlink(missing_ok=True)
+            for f in orphans:
+                f.unlink(missing_ok=True)
+        out["clean"] = not (out["corrupt_record"] or out["missing_output"]
+                            or out["size_drift"] or out["orphan_file"])
+        return out
+
     def summary(self) -> dict:
         recs = self.load_all()
         done = [r for r in recs if r.done]
