@@ -116,3 +116,24 @@ def test_chunk_batch_invariant(ray_session):
          .to_pandas().sort_values(["doc_id", "chunk_id"])
          .reset_index(drop=True))
     assert a.equals(b)
+
+
+from hypothesis import given, settings, strategies as st
+
+_texts = st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet=" \t\nabZ0é世", max_size=60)),
+    max_size=25)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=_texts, mt=st.integers(1, 9), frac=st.integers(1, 9))
+def test_chunk_property_matches_naive(texts, mt, frac):
+    """Any (texts, max_tokens, stride) config matches the naive Python
+    mirror — including unicode, tabs/newlines, null and empty docs."""
+    stride = max(1, min(mt, frac))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = [(r["doc_id"], r["chunk_id"], r["text"], r["n_tokens"])
+           for r in chunk_batch(t, max_tokens=mt, stride=stride).to_pylist()]
+    assert got == _naive(texts, mt, stride)

@@ -68,3 +68,16 @@ def test_mixture_repartition_invariant(ray_session):
                         default_rate=0.4)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_mixture_rate_monotone_subset(ray_session):
+    """The md5-threshold contract makes samples NESTED: every doc kept at
+    a lower rate is kept at any higher rate (no resampling churn when a
+    mix weight is tuned up — the operational property that matters when
+    re-running a 100 TB mix with adjusted weights)."""
+    docs = _docs(ray_session)
+    lo = set(mixture_sample(docs, {"en": 0.2}, default_rate=0.1)
+             .to_pandas()["doc_id"])
+    hi = set(mixture_sample(docs, {"en": 0.6}, default_rate=0.3)
+             .to_pandas()["doc_id"])
+    assert lo and lo < hi
