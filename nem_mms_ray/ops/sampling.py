@@ -92,8 +92,7 @@ def mixture_sample(ds, rates: dict[str, float], group_col: str = "lang",
 
         if not len(batch):
             return batch
-        enc = pa.chunked_array([batch.column(group_col)]) \
-            .combine_chunks().dictionary_encode()
+        enc = batch.column(group_col).combine_chunks().dictionary_encode()
         per_value = np.array(
             [thr.get(v, thr_default) for v in enc.dictionary.to_pylist()],
             dtype=object)
