@@ -12,6 +12,17 @@ made idempotent).
 
 Partition ids derive from input fragment paths + row-group ranges — never
 from scheduling order — so N-cpu and 4N-cpu runs agree (SURVEY.md §7.4).
+
+Scale shape: manifest volume is O(partitions) small JSON files — at
+100 TB / 64 MiB that is ~1.6M files, the same order as the data files
+themselves and the standard table-format trade (Iceberg/Delta manifest
+listings).  Writers touch exactly one record each (no contention, no
+append log to serialize); only driver-side metadata passes (`load_all`,
+`summary`, `fsck`, resume's `is_done` probe) list the directory, and a
+listing of millions of names is a filesystem metadata scan, not a data
+scan.  If the store's per-directory listing becomes the bottleneck,
+records shard by pid prefix without changing any caller (record_path is
+the single naming site).
 """
 
 from __future__ import annotations
