@@ -137,3 +137,68 @@ def test_chunk_property_matches_naive(texts, mt, frac):
     got = [(r["doc_id"], r["chunk_id"], r["text"], r["n_tokens"])
            for r in chunk_batch(t, max_tokens=mt, stride=stride).to_pylist()]
     assert got == _naive(texts, mt, stride)
+
+
+def test_chunk_overlap_matches_duckdb(ray_session):
+    """Overlap mode (stride < max_tokens) vs the DuckDB list-slice mirror
+    with an explicit stride in the window range."""
+    import ray.data as rd
+
+    mt, stv = 10, 4
+    got = (chunk_documents(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        max_tokens=mt, stride=stv)
+        .to_pandas().sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True))
+
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                     '\\s+'),
+                               x -> x <> '') AS ws
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+        ), c AS (
+            SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0
+        ), x AS (
+            SELECT doc_id, ws, n,
+                   unnest(range(0, CAST(ceil(greatest(n - {mt}, 0) / {stv}.0)
+                                        AS BIGINT) + 1)) AS chunk_id
+            FROM c
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(
+                   ws[chunk_id*{stv} + 1 :
+                      least(chunk_id*{stv} + {mt}, n)], ' ') AS text,
+               least({mt}, n - chunk_id*{stv}) AS n_tokens
+        FROM x ORDER BY doc_id, chunk_id
+    """).df()
+    assert len(got) == len(want) > 800
+    for c in ("doc_id", "chunk_id", "n_tokens"):
+        assert got[c].tolist() == want[c].astype(int).tolist(), c
+    assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_chunks_encode_roundtrip(ray_session, tmp_path):
+    """Composition: chunk -> parquet -> codec encode -> bit-identical
+    verify.  The chunk fan-out's output is a first-class encode input."""
+    import glob
+
+    import ray.data as rd
+
+    from nem_mms_ray.pipelines.decode import verify_files
+    from nem_mms_ray.pipelines.encode import encode_files
+
+    chunks_dir = tmp_path / "chunks"
+    chunk_documents(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        max_tokens=32).write_parquet(str(chunks_dir))
+    paths = sorted(glob.glob(str(chunks_dir / "*.parquet")))
+    enc = tmp_path / "enc"
+    m = encode_files(paths, enc, target_bytes=1 << 20).to_pandas()
+    assert m["rows"].sum() > 1000
+    v = verify_files(paths, enc, target_bytes=1 << 20).to_pandas()
+    assert bool(v["ok"].all())
