@@ -235,7 +235,11 @@ def cmd_describe(args) -> int:
         if not args.out_dir:
             print("describe --fsck requires OUT_DIR", file=sys.stderr)
             return 2
-        rep = Manifest(args.out_dir).fsck(repair=args.repair)
+        try:
+            rep = Manifest(args.out_dir).fsck(repair=args.repair)
+        except FileNotFoundError as e:
+            print(str(e), file=sys.stderr)
+            return 2
         print(json.dumps(rep, indent=2))
         return 0 if rep["clean"] or args.repair else 1
 

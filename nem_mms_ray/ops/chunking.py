@@ -109,6 +109,12 @@ def chunk_documents(ds, max_tokens: int = 512, stride: int | None = None,
                     id_col: str = "doc_id", text_col: str = "text"):
     """Dataset[(id, chunk_id, text, n_tokens)] — every doc split into
     token windows (see `chunk_batch`).  Pure fan-out map, zero shuffles."""
+    # validate NOW: a bad stride failing per-batch inside Ray tasks would
+    # surface as a RayTaskError after the input is already read
+    if not 0 < (stride if stride is not None else max_tokens) <= max_tokens:
+        raise ValueError(
+            f"stride must be in (0, max_tokens]; got stride={stride}, "
+            f"max_tokens={max_tokens}")
     return ds.map_batches(
         functools.partial(chunk_batch, max_tokens=max_tokens, stride=stride,
                           id_col=id_col, text_col=text_col),

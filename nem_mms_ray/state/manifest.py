@@ -171,49 +171,66 @@ class Manifest:
         on-disk size drifted from the recorded file_bytes (`size_drift`);
         plus encoded parquet files in out_dir referenced by no record
         (`orphan_file` — including the output of a corrupt record, which
-        can no longer vouch for it).  Read-only by default; `repair=True`
-        deletes the stale records (so resume re-encodes exactly those
-        partitions) and the orphan files.  Returns the finding lists +
-        counts."""
+        can no longer vouch for it; only the encoder's `part-*.parquet`
+        namespace is considered).  Read-only by default; `repair=True`
+        deletes the stale records, the drifted outputs, and the orphan
+        files — so resume re-encodes exactly those partitions and a fresh
+        fsck of the repaired dir is clean in one pass.  Raises
+        FileNotFoundError when out_dir has no manifest at all (most likely
+        a wrong path — never treat a manifest-less directory's parquet as
+        orphans).  Offline tool: do not run `repair` against a live encode
+        (a partition's parquet lands before its record and would read as
+        an orphan in that window)."""
+        if not self.dir.exists():
+            # refuse rather than classify every parquet in a manifest-less
+            # directory (e.g. a SOURCE dir passed by mistake) as an orphan
+            # — with repair=True that would delete user data
+            raise FileNotFoundError(
+                f"no manifest at {self.dir}: not an encode output directory")
         out = {"checked": 0, "ok": 0, "corrupt_record": [],
                "missing_output": [], "size_drift": [], "orphan_file": [],
                "repaired": repair}
         referenced: set[str] = set()
         stale_records: list[Path] = []
-        if self.dir.exists():
-            for p in sorted(self.dir.glob("part-*.json")):
-                out["checked"] += 1
-                try:
-                    with open(p) as f:
-                        rec = PartitionRecord(**json.load(f))
-                except (json.JSONDecodeError, OSError, TypeError):
-                    out["corrupt_record"].append(p.name)
+        stale_outputs: list[Path] = []
+        for p in sorted(self.dir.glob("part-*.json")):
+            out["checked"] += 1
+            try:
+                with open(p) as f:
+                    rec = PartitionRecord(**json.load(f))
+            except (json.JSONDecodeError, OSError, TypeError):
+                out["corrupt_record"].append(p.name)
+                stale_records.append(p)
+                continue
+            if rec.output_file:
+                referenced.add(str(Path(rec.output_file).resolve()))
+            if rec.done and rec.output_file:
+                op = Path(rec.output_file)
+                if not op.exists():
+                    out["missing_output"].append(
+                        {"pid": rec.pid, "output_file": rec.output_file})
                     stale_records.append(p)
                     continue
-                if rec.output_file:
-                    referenced.add(str(Path(rec.output_file).resolve()))
-                if rec.done and rec.output_file:
-                    op = Path(rec.output_file)
-                    if not op.exists():
-                        out["missing_output"].append(
-                            {"pid": rec.pid, "output_file": rec.output_file})
-                        stale_records.append(p)
-                        continue
-                    size = op.stat().st_size
-                    if rec.file_bytes and size != rec.file_bytes:
-                        out["size_drift"].append(
-                            {"pid": rec.pid, "output_file": rec.output_file,
-                             "recorded": rec.file_bytes, "on_disk": size})
-                        stale_records.append(p)
-                        continue
-                out["ok"] += 1
-        orphans = [f for f in sorted(self.out_dir.glob("*.parquet"))
+                size = op.stat().st_size
+                if rec.file_bytes and size != rec.file_bytes:
+                    out["size_drift"].append(
+                        {"pid": rec.pid, "output_file": rec.output_file,
+                         "recorded": rec.file_bytes, "on_disk": size})
+                    stale_records.append(p)
+                    stale_outputs.append(op)  # the drifted file is
+                    # stale too: delete with its record so the repaired
+                    # dir passes a fresh fsck in one pass
+                    continue
+            out["ok"] += 1
+        # only the encoder's own namespace: foreign parquet in out_dir is
+        # none of fsck's business
+        orphans = [f for f in sorted(self.out_dir.glob("part-*.parquet"))
                    if str(f.resolve()) not in referenced]
         out["orphan_file"] = [f.name for f in orphans]
         if repair:
             for p in stale_records:
                 p.unlink(missing_ok=True)
-            for f in orphans:
+            for f in orphans + stale_outputs:
                 f.unlink(missing_ok=True)
         out["clean"] = not (out["corrupt_record"] or out["missing_output"]
                             or out["size_drift"] or out["orphan_file"])

@@ -58,6 +58,10 @@ def test_fsck_findings_and_repair_resume(ray_session, web_dir, tmp_path):
     # fault 4: corrupt record JSON
     rec2 = m.record_path(2)
     rec2.write_text("{corrupt")
+    # non-fault: a FOREIGN parquet outside the encoder's part-* namespace
+    # is none of fsck's business
+    foreign = out / "user_notes.parquet"
+    foreign.write_bytes(b"user data")
 
     rep = m.fsck()
     assert not rep["clean"]
@@ -77,6 +81,11 @@ def test_fsck_findings_and_repair_resume(ray_session, web_dir, tmp_path):
     assert rep2["repaired"] and not orphan.exists()
     assert not m.record_path(0).exists() and not m.record_path(1).exists() \
         and not rec2.exists()
+    # the drifted output was deleted with its record: ONE repair pass
+    # leaves the directory fsck-clean, and the foreign file is untouched
+    assert not parts[1].exists()
+    assert m.fsck()["clean"]
+    assert foreign.exists()
 
     # resume re-encodes exactly the 3 stale partitions; round-trip green
     metrics = _encode(web_dir, out)
@@ -99,3 +108,30 @@ def test_fsck_cli_exit_codes(ray_session, web_dir, tmp_path, capsys):
     next(iter(sorted(out.glob("part-*.parquet")))).unlink()
     assert main(["describe", str(out), "--fsck"]) == 1
     assert main(["describe", str(out), "--fsck", "--repair"]) == 0
+
+    # manifest-less directory (e.g. a SOURCE dir passed by mistake):
+    # refuse with exit 2 and NEVER touch its parquet files
+    src_dir = tmp_path / "not_an_encode_dir"
+    src_dir.mkdir()
+    keepme = src_dir / "data.parquet"
+    keepme.write_bytes(b"source data")
+    assert main(["describe", str(src_dir), "--fsck", "--repair"]) == 2
+    assert keepme.exists()
+
+
+def test_fsck_refuses_manifestless_dir(tmp_path):
+    with pytest.raises(FileNotFoundError, match="no manifest"):
+        Manifest(tmp_path).fsck()
+
+
+def test_chunk_documents_validates_stride_early(ray_session):
+    import ray.data as rd
+
+    from nem_mms_ray.ops.chunking import chunk_documents
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(ds, max_tokens=3, stride=4)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(ds, max_tokens=0)
