@@ -35,6 +35,11 @@ Usage:
   python -m nem_mms_ray chunk DOCS.parquet -o OUT_DIR \
          [--max-tokens 512] [--stride 512]
          # context-window packing: one row per token window
+  python -m nem_mms_ray pack CHUNKS_DIR -o OUT_DIR --budget 2048 \
+         [--mode next_fit|stream] [--order-cols chunk_id] \
+         [--n-tokens-col n_tokens]
+         # sequence packing: combine short sequences into full
+         # training rows (chunk's downstream step)
 """
 
 from __future__ import annotations
@@ -338,6 +343,32 @@ def cmd_chunk(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack sequences into fixed-token-budget training rows (next-fit or
+    stream discipline); writes (bucket, pack_id, text, n_tokens[, n_seqs])
+    parquet."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.packing import pack_sequences
+
+    cols = [args.id_col, args.text_col, *args.order_cols]
+    if args.n_tokens_col:
+        cols.append(args.n_tokens_col)
+    ds = rd.read_parquet(_expand_inputs(args.inputs), columns=cols)
+    pack_sequences(ds, budget=args.budget, mode=args.mode,
+                   n_buckets=args.n_buckets, id_col=args.id_col,
+                   order_cols=tuple(args.order_cols),
+                   text_col=args.text_col,
+                   n_tokens_col=args.n_tokens_col).write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"packs": int(n), "budget": args.budget,
+                      "mode": args.mode}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def cmd_gen(args) -> int:
     from nem_mms_ray.webtable import write_webtable
 
@@ -476,6 +507,29 @@ def main(argv: list[str] | None = None) -> int:
     pck.add_argument("--text-col", default="text")
     pck.add_argument("--num-cpus", type=int, default=None)
     pck.set_defaults(fn=cmd_chunk)
+
+    ppk = sub.add_parser("pack",
+                         help="pack sequences into fixed-token-budget"
+                              " training rows (chunk's downstream step)")
+    ppk.add_argument("inputs", nargs="+")
+    ppk.add_argument("-o", "--out", required=True)
+    ppk.add_argument("--budget", type=int, default=2048)
+    ppk.add_argument("--mode", choices=("next_fit", "stream"),
+                     default="next_fit",
+                     help="next_fit keeps sequences whole; stream cuts the"
+                          " concatenated token stream at exact boundaries")
+    ppk.add_argument("--n-buckets", type=int, default=64)
+    ppk.add_argument("--id-col", default="doc_id")
+    ppk.add_argument("--order-cols", nargs="*", default=[],
+                     help="secondary sort keys, e.g. chunk_id for chunk"
+                          " output")
+    ppk.add_argument("--text-col", default="text")
+    ppk.add_argument("--n-tokens-col", default=None,
+                     help="precomputed token-count column (chunk output"
+                          " carries n_tokens); counted per batch when"
+                          " absent")
+    ppk.add_argument("--num-cpus", type=int, default=None)
+    ppk.set_defaults(fn=cmd_pack)
 
     pg = sub.add_parser("gen", help="synthesize the FIXTURES webtable")
     pg.add_argument("-o", "--out", required=True)

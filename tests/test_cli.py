@@ -173,3 +173,36 @@ def test_cli_decontam(ray_session, tmp_path, capsys):
     assert res["rows"] == 40 and res["contaminated"] == 1
     t = pq.read_table(str(tmp_path / "dc")).to_pandas().set_index("doc_id")
     assert bool(t.loc[5, "contaminated"]) and t.loc[5, "overlap"] == 1.0
+
+
+def test_cli_chunk_then_pack(ray_session, tmp_path, capsys):
+    """chunk -> pack end-to-end through the CLI: windows are re-packed to
+    the token budget, chunk's n_tokens column trusted without a recount."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nem_mms_ray.__main__ import main
+
+    rng = np.random.default_rng(21)
+    texts = [" ".join(f"d{i}w{j}" for j in range(n))
+             for i, n in enumerate(rng.integers(1, 60, 30))]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(30, dtype=np.int64)),
+                             "text": pa.array(texts)}), str(src))
+
+    assert main(["chunk", str(src), "-o", str(tmp_path / "ch"),
+                 "--max-tokens", "8"]) == 0
+    ch = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ch["chunks"] > 30
+
+    assert main(["pack", str(tmp_path / "ch"), "-o", str(tmp_path / "pk"),
+                 "--budget", "24", "--n-buckets", "4",
+                 "--order-cols", "chunk_id", "--n-tokens-col", "n_tokens"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table(str(tmp_path / "pk")).to_pandas()
+    assert res["packs"] == len(t) and res["mode"] == "next_fit"
+    assert (t["n_tokens"] <= 24).all()  # chunks are <=8, no oversized packs
+    assert int(t["n_tokens"].sum()) == sum(len(s.split()) for s in texts)
