@@ -40,6 +40,10 @@ Usage:
          [--n-tokens-col n_tokens]
          # sequence packing: combine short sequences into full
          # training rows (chunk's downstream step)
+  python -m nem_mms_ray bpe DOCS.parquet -o OUT_DIR \
+         [--n-merges 1000] [--max-words 100000] [--merges-in MERGES.json]
+         # BPE tokenizer: distributed word count -> driver merge loop ->
+         # per-doc subword counts; merges saved to OUT_DIR/bpe_merges.json
 """
 
 from __future__ import annotations
@@ -369,6 +373,40 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """Train a BPE vocabulary on the corpus's word frequencies, apply it,
+    and write per-doc subword counts; the learned merges go to a JSON
+    sidecar so a later run can re-apply the same tokenizer."""
+    from pathlib import Path
+
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.bpe import apply_bpe, train_bpe, word_frequencies
+
+    ds = rd.read_parquet(_expand_inputs(args.inputs),
+                         columns=[args.id_col, args.text_col])
+    if args.merges_in:
+        merges = [tuple(p) for p in
+                  json.loads(Path(args.merges_in).read_text())["merges"]]
+    else:
+        merges = train_bpe(
+            word_frequencies(ds, text_col=args.text_col,
+                             max_words=args.max_words),
+            n_merges=args.n_merges, min_freq=args.min_freq)
+    apply_bpe(ds, merges, text_col=args.text_col,
+              id_col=args.id_col).write_parquet(args.out)
+    out_dir = Path(args.out)
+    (out_dir / "bpe_merges.json").write_text(
+        json.dumps({"merges": merges, "n_merges": len(merges)}))
+    n = rd.read_parquet(
+        args.out, file_extensions=["parquet"]).count()
+    print(json.dumps({"rows": int(n), "merges": len(merges)}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def cmd_gen(args) -> int:
     from nem_mms_ray.webtable import write_webtable
 
@@ -530,6 +568,21 @@ def main(argv: list[str] | None = None) -> int:
                           " absent")
     ppk.add_argument("--num-cpus", type=int, default=None)
     ppk.set_defaults(fn=cmd_pack)
+
+    pb = sub.add_parser("bpe", help="train a BPE vocabulary on corpus word "
+                        "frequencies and write per-doc subword counts")
+    pb.add_argument("inputs", nargs="+")
+    pb.add_argument("-o", "--out", required=True)
+    pb.add_argument("--n-merges", type=int, default=1000)
+    pb.add_argument("--max-words", type=int, default=100_000,
+                    help="train on the top-N word types by frequency")
+    pb.add_argument("--min-freq", type=int, default=2)
+    pb.add_argument("--merges-in", default=None,
+                    help="skip training: re-apply a bpe_merges.json")
+    pb.add_argument("--id-col", default="doc_id")
+    pb.add_argument("--text-col", default="text")
+    pb.add_argument("--num-cpus", type=int, default=None)
+    pb.set_defaults(fn=cmd_bpe)
 
     pg = sub.add_parser("gen", help="synthesize the FIXTURES webtable")
     pg.add_argument("-o", "--out", required=True)

@@ -206,3 +206,39 @@ def test_cli_chunk_then_pack(ray_session, tmp_path, capsys):
     assert res["packs"] == len(t) and res["mode"] == "next_fit"
     assert (t["n_tokens"] <= 24).all()  # chunks are <=8, no oversized packs
     assert int(t["n_tokens"].sum()) == sum(len(s.split()) for s in texts)
+
+
+def test_cli_bpe_train_and_reapply(ray_session, tmp_path, capsys):
+    """bpe end-to-end through the CLI: train writes counts + a merges
+    sidecar; --merges-in re-applies the SAME tokenizer to new docs with
+    identical segmentation (the index-once/apply-many contract)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nem_mms_ray.__main__ import main
+
+    texts = [f"alpha beta gamma alpha w{i}" for i in range(40)]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string())}), str(src))
+
+    assert main(["bpe", str(src), "-o", str(tmp_path / "b1"),
+                 "--n-merges", "50", "--max-words", "100"]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["rows"] == 40 and r1["merges"] > 0
+    merges_path = tmp_path / "b1" / "bpe_merges.json"
+    assert merges_path.exists()
+
+    assert main(["bpe", str(src), "-o", str(tmp_path / "b2"),
+                 "--merges-in", str(merges_path)]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["merges"] == r1["merges"]
+    c1 = pq.read_table(str(tmp_path / "b1"), ignore_prefixes=["bpe_"],
+                       ).to_pandas().sort_values("doc_id")
+    c2 = pq.read_table(str(tmp_path / "b2"), ignore_prefixes=["bpe_"],
+                       ).to_pandas().sort_values("doc_id")
+    assert c1["n_bpe_tokens"].tolist() == c2["n_bpe_tokens"].tolist()
+    assert (c1["n_bpe_tokens"] >= 5).all()  # >= one token per word
