@@ -1,0 +1,180 @@
+"""Winnowing fingerprints: substring-level duplicate detection.
+
+The substring-dedup family (Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better") targets byte SPANS copied between documents
+— the regime whole-doc shingle MinHash misses (a 300-char license block
+inside two otherwise-different pages barely moves doc-level Jaccard, but
+is exactly the memorization hazard that paper measures).  The exact tool
+is a corpus suffix array, which is inherently sequential; the published
+distributable alternative is local fingerprinting: Schleimer / Wilkerson /
+Aiken, SIGMOD 2003 ("Winnowing: Local Algorithms for Document
+Fingerprinting").
+
+Per document: rolling polynomial hashes over all codepoint k-grams, then
+the MINIMUM hash inside every window of `window` consecutive k-gram hashes
+is selected (ties collapse — only the selected hash VALUES matter for pair
+detection, so min-per-window equals the paper's rightmost-min rule).  Two
+properties carry the semantics:
+
+* GUARANTEE (the paper's correctness property): two docs sharing a
+  substring of length >= window + k - 1 codepoints share at least one
+  selected fingerprint — no false negatives above the threshold length.
+* SOUNDNESS: every selected fingerprint is a real k-gram hash of the doc,
+  so a reported pair shares a k-codepoint substring (up to 64-bit hash
+  equality, the same no-collision contract as the gram-hash dedup family).
+* DENSITY: ~2/(window+1) of all k-grams are selected, so the exploded
+  index is ~window/2 x smaller than the full k-gram explode — the lever
+  that makes substring-level indexing feasible at 100 TB.
+
+Distributed shape = the exact n-gram family's (`ops/dedup.py`,
+`ngram_jaccard_pairs`): ONE map pass explodes (doc_id, fp, bucket, sz)
+with the doc's selected-fingerprint count stamped on every row -> coarse
+fp-hash bucket groupby -> per-bucket vectorized pair expansion with the
+same frequent-fingerprint skew guard (`_gram_pairs_in_bucket`, reused) ->
+`bucketed_pair_agg` sums shared-fp counts per pair.  Cost scales with
+fingerprint SHARING, not n^2; a boilerplate fingerprint shared by M docs
+is bounded by the same opt-in `max_fp_df` cap, logged never silent.
+
+`window=1` selects EVERY k-gram: pairs sharing ANY k-codepoint substring,
+exactly — the guaranteed-recall regime the DuckDB oracle mirrors with a
+substring-explode SQL (`tests/test_winnow.py`).  `window>1` is the scale
+regime, pinned by the guarantee/soundness tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+# odd multiplier -> bijective modulo 2^64 per step; same constant family as
+# the dedup gram hashes (_GRAM_MULT[0], ops/dedup.py)
+_B = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _codepoints(text) -> np.ndarray:
+    """Codepoint array (uint64) of a python string; () for None/''.
+
+    utf-32-le round-trip is the vectorized way to get CHARACTER (not byte)
+    semantics, matching SQL substr() in the oracle mirror."""
+    if not text:
+        return np.zeros(0, np.uint64)
+    return np.frombuffer(text.encode("utf-32-le"), np.uint32).astype(np.uint64)
+
+
+def _kgram_hashes(cps: np.ndarray, k: int) -> np.ndarray:
+    """Positional polynomial hash of every k-gram: h = sum cp[j]*B^(k-1-j)
+    (mod 2^64, numpy wrap).  Equal k-grams hash equal regardless of
+    position; the positional weights keep anagrams apart."""
+    nh = len(cps) - k + 1
+    if nh <= 0:
+        return np.zeros(0, np.uint64)
+    pows = np.empty(k, np.uint64)
+    pows[-1] = 1
+    for j in range(k - 2, -1, -1):  # k is small (default 8); wraps mod 2^64
+        pows[j] = pows[j + 1] * _B
+    win = np.lib.stride_tricks.sliding_window_view(cps, k)
+    return (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def winnow_select(cps: np.ndarray, k: int, window: int) -> np.ndarray:
+    """Distinct selected fingerprint values (uint64) for one doc.
+
+    Docs with fewer than `window` k-grams use a truncated window (their
+    global min survives), so every doc with >= k codepoints is indexed;
+    shorter docs have no k-gram and emit nothing (outside the guarantee
+    length anyway)."""
+    h = _kgram_hashes(cps, k)
+    if len(h) == 0:
+        return h
+    w = min(window, len(h))
+    if w > 1:
+        h = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return np.unique(h)
+
+
+def _winnow_explode(batch: pa.Table, k: int, window: int, id_col: str,
+                    text_col: str, n_buckets: int) -> pa.Table:
+    """(id, gram, bucket, sz) rows — one per selected fingerprint, with the
+    doc's selected count stamped on each row (the sz-carry trick from
+    ngram_jaccard_pairs: no second pass, no driver size dict).  Column
+    names match `_gram_pairs_in_bucket`'s contract so the pair stage is
+    shared verbatim with the n-gram family."""
+    ids = np.asarray(batch.column(id_col), dtype=np.int64)
+    sets = [winnow_select(_codepoints(t), k, window)
+            for t in batch.column(text_col).to_pylist()]
+    counts = np.array([len(s) for s in sets], np.int64)
+    fps = np.concatenate(sets) if sets else np.zeros(0, np.uint64)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, counts)),
+        "gram": pa.array(fps.view(np.int64)),
+        "bucket": pa.array((fps % np.uint64(n_buckets)).astype(np.int32)),
+        "sz": pa.array(np.repeat(counts, counts)),
+    })
+
+
+def winnow_fingerprints(ds, k: int = 8, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset[(doc_id, fp)] — each doc's distinct selected fingerprints.
+
+    Pure fan-out map, zero shuffles: the index-build half of the op,
+    reusable as a join key against a known-bad span list (the Lee et al.
+    memorization-probe use)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        e = _winnow_explode(t, k, window, id_col, text_col, 1)
+        return e.select([id_col, "gram"]).rename_columns([id_col, "fp"])
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def winnow_dup_pairs(ds, k: int = 8, window: int = 4, min_shared: int = 1,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 256, max_fp_df: int | None = None):
+    """Dataset[(a, b, shared, containment)], a < b: doc pairs sharing
+    >= `min_shared` selected fingerprints.
+
+    `shared` counts distinct shared fingerprints; `containment` =
+    shared / min(|fps_a|, |fps_b|) — the span-copy signal (a small doc
+    fully embedded in a big one scores 1.0 where Jaccard would vanish).
+
+    window=1: exact "shares any k-codepoint substring" semantics (DuckDB
+    oracle regime).  window>1: candidates for spans >= window+k-1, sound
+    per selected fp.  `max_fp_df` is the same OPT-IN frequent-key skew
+    guard as `ngram_jaccard_pairs.max_gram_df` (None = exact contract:
+    boilerplate shared by M docs emits its M^2/2 pairs — cap it only
+    after exact/near dedup has run, drops are logged never silent)."""
+    from nem_mms_ray.ops.dedup import _gram_pairs_in_bucket, bucketed_pair_agg
+
+    explode = functools.partial(_winnow_explode, k=k, window=window,
+                                id_col=id_col, text_col=text_col,
+                                n_buckets=n_buckets)
+    inter = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(functools.partial(_gram_pairs_in_bucket, id_col=id_col,
+                                      max_gram_df=max_fp_df),
+                    batch_format="pandas")
+    )
+    pairs = bucketed_pair_agg(
+        inter,
+        lambda g: g.groupby(["a", "b"], as_index=False)
+                   .agg({"cnt": "sum", "na": "max", "nb": "max"}))
+
+    def score(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), np.int64)
+        b = np.asarray(t.column("b"), np.int64)
+        c = np.asarray(t.column("cnt"), np.int64)
+        na = np.asarray(t.column("na"), np.int64)
+        nb = np.asarray(t.column("nb"), np.int64)
+        keep = c >= min_shared
+        cont = np.round(c[keep] / np.minimum(na[keep], nb[keep]), 6)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "shared": pa.array(c[keep]),
+                         "containment": pa.array(cont)})
+
+    return pairs.map_batches(score, batch_format="pyarrow")
