@@ -24,9 +24,11 @@ Usage:
   python -m nem_mms_ray near-dedup DOCS.parquet -o OUT.parquet \
          [--threshold 0.8]         # minhash pairs -> cluster components
   python -m nem_mms_ray web WEB.parquet [WEB2...] -o OUT_DIR \
-         [--quality-min 0.5] [--lang en] [--near-dedup] [--verify]
+         [--quality-min 0.5] [--lang en] [--near-dedup] [--verify] \
+         [--lm-max-bits 1.2 [--lm-ref TRUSTED.parquet] [--lm-ngram 3]]
          # the composed flagship: extract -> curate -> encode, with
-         # stage-level checkpoint resume
+         # stage-level checkpoint resume; --lm-max-bits adds the CCNet
+         # perplexity filter
   python -m nem_mms_ray scrub DOCS.parquet -o OUT_DIR
          # PII redaction (email/IP/SSN/phone/card) + corpus match totals
   python -m nem_mms_ray decontam DOCS.parquet -o OUT_DIR \
@@ -225,7 +227,9 @@ def cmd_web(args) -> int:
         verify=args.verify, resume=not args.no_resume,
         scrub=args.scrub, domain_cap=args.domain_cap,
         benchmark_paths=args.benchmark or None,
-        decontam_ngram=args.decontam_ngram)
+        decontam_ngram=args.decontam_ngram,
+        lm_max_bits=args.lm_max_bits, lm_ref_paths=args.lm_ref or None,
+        lm_ngram=args.lm_ngram)
     print(json.dumps(summary))
     if owned:
         ray.shutdown()
@@ -505,6 +509,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="benchmark parquet(s); drop docs sharing word "
                          "n-grams with them (post-dedup)")
     pw.add_argument("--decontam-ngram", type=int, default=8)
+    pw.add_argument("--lm-max-bits", type=float, default=None,
+                    help="drop docs above this bits/char under a char "
+                         "n-gram LM (the CCNet perplexity filter)")
+    pw.add_argument("--lm-ref", nargs="+", default=None,
+                    help="trusted-text parquet(s) to train the LM on "
+                         "(default: the curated corpus itself)")
+    pw.add_argument("--lm-ngram", type=int, default=3)
     pw.add_argument("--num-cpus", type=int, default=None)
     pw.set_defaults(fn=cmd_web)
 

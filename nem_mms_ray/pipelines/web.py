@@ -122,7 +122,9 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
                  threshold: float = 1.0, target_bytes: int = 64 << 20,
                  verify: bool = False, resume: bool = True,
                  scrub: bool = False, domain_cap: int | None = None,
-                 benchmark_paths=None, decontam_ngram: int = 8) -> dict:
+                 benchmark_paths=None, decontam_ngram: int = 8,
+                 lm_max_bits: float | None = None, lm_ref_paths=None,
+                 lm_ngram: int = 3) -> dict:
     """Run extract -> curate -> encode over a web table; returns a
     summary dict with per-stage rows, seconds, and the encode ratio.
 
@@ -150,6 +152,13 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
       last-step ordering, and the cheapest (the corpus is smallest).
       The plan pins the benchmark by path list + ngram (same convention
       as the extract stage's input pin).
+    - `lm_max_bits`: perplexity filter (`ops/charlm`, the CCNet step) —
+      drop docs scoring above the bits/char threshold under a char
+      `lm_ngram`-gram LM.  Trained on `lm_ref_paths` (trusted text, the
+      CCNet configuration) when given, else on the curated corpus itself
+      (self-scoring outlier filter).  Applied LAST, on the smallest
+      corpus; docs too short to score (no n-gram position) are kept —
+      absence of evidence is not a quality signal.
     """
     import ray.data as rd
 
@@ -196,12 +205,16 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
     t0 = time.monotonic()
     bench_pin = (sorted(str(p) for p in benchmark_paths)
                  if benchmark_paths else None)
+    lm_pin = (sorted(str(p) for p in lm_ref_paths)
+              if lm_ref_paths else None)
     cur_plan = {"stage": "curate", "quality_min": quality_min, "lang": lang,
                 "near_dedup": near_dedup,
                 "threshold": threshold if near_dedup else None,
                 "scrub": scrub, "domain_cap": domain_cap,
                 "benchmark": ({"paths": bench_pin, "ngram": decontam_ngram}
                               if bench_pin else None),
+                "lm": ({"max_bits": lm_max_bits, "ngram": lm_ngram,
+                        "ref": lm_pin} if lm_max_bits is not None else None),
                 "upstream": {"plan": ext_plan, "rows": int(ext_rec["rows"])}}
     cur_rec = resume and _stage_complete(curated, cur_plan)
     cur_reused = bool(cur_rec)
@@ -260,6 +273,24 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
                         batch_format="pyarrow").materialize()
                 # ^ materialized: drop_ids consumes it twice (count + ids)
                 cur = drop_ids(cur, flagged)
+            if lm_max_bits is not None:
+                import pyarrow.compute as pc
+
+                from nem_mms_ray.ops.charlm import lm_score, train_char_lm
+
+                # scored corpus consumed twice (train-or-score + anti-join)
+                cur = cur.materialize()
+                ref_ds = (rd.read_parquet(lm_pin, columns=["text"])
+                          if lm_pin else cur)
+                if text_map is not None and lm_pin:
+                    ref_ds = text_map(ref_ds)  # same-transform rule as bench
+                model = train_char_lm(ref_ds, n=lm_ngram)
+                noisy = lm_score(cur, model).map_batches(
+                    lambda t: pa.table({"id": t.column("doc_id").filter(
+                        pc.greater(t.column("lm_bits"), lm_max_bits))
+                        .cast(pa.int64())}),
+                    batch_format="pyarrow").materialize()
+                cur = drop_ids(cur, noisy)
             cur.write_parquet(tmp)
 
         cur_rec = _run_stage(curated, cur_plan, write_curate)

@@ -301,3 +301,50 @@ def test_web_pipeline_scrub_benchmark_interaction(ray_session, tmp_path):
     cur = pq.read_table(sorted((tmp_path / "out" / "curated")
                                .glob("*.parquet"))).to_pandas()
     assert all("bob@leak.io" not in t for t in cur["text"])
+
+
+def test_web_pipeline_lm_filter(ray_session, tmp_path):
+    """The CCNet stage: a self-trained char-LM perplexity filter drops the
+    planted gibberish doc; the threshold is plan-pinned (changing it
+    re-runs curate); lm_ref trains on trusted text only."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.charlm import lm_bits_scalar, train_char_lm
+    from nem_mms_ray.pipelines.web import web_pipeline
+
+    rng = np.random.default_rng(11)
+    vocab = EN.split()
+    goods = [" ".join(rng.choice(vocab, 80)) for _ in range(4)]
+    gib = "".join(rng.choice(list("qxzjvkw@#%&^")) for _ in range(300))
+    texts = goods + [gib]
+    rows = [{"url": f"http://a/{i}", "html": f"<p>{t}</p>".encode()}
+            for i, t in enumerate(texts)]
+    src = tmp_path / "web.parquet"
+    _write_webtable(str(src), rows)
+
+    # the pipeline self-trains on the curated corpus (= all 5 docs here);
+    # mirror that to place the threshold in the good/gibberish gap
+    model = train_char_lm(rd.from_arrow(pa.table({"text": texts})), n=3)
+    bits = [lm_bits_scalar(model, t) for t in texts]
+    assert max(bits[:4]) < bits[4]
+    thr = (max(bits[:4]) + bits[4]) / 2
+
+    out = tmp_path / "out"
+    s = web_pipeline([str(src)], out, lm_max_bits=thr)
+    assert s["stages"]["extract"]["rows"] == 5
+    assert s["stages"]["curate"]["rows"] == 4
+    cur = pq.read_table(sorted((out / "curated").glob("*.parquet"))
+                        ).to_pandas()
+    assert gib not in set(cur["text"])
+
+    # threshold is plan-pinned: a lax one re-runs and keeps all 5
+    s2 = web_pipeline([str(src)], out, lm_max_bits=thr + 50.0)
+    assert s2["stages"]["curate"]["rows"] == 5
+
+    # lm_ref configuration: train on trusted text only (the goods); the
+    # gibberish doc scores even worse under it and still drops
+    ref = tmp_path / "ref.parquet"
+    pq.write_table(pa.table({"text": pa.array(goods)}), ref)
+    s3 = web_pipeline([str(src)], tmp_path / "out3", lm_max_bits=thr,
+                      lm_ref_paths=[ref])
+    assert s3["stages"]["curate"]["rows"] == 4
