@@ -39,7 +39,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from nem_mms_ray.ops.winnow import _codepoints, _kgram_hashes
+from nem_mms_ray.ops.winnow import (
+    _codepoints,
+    _flat_corpus,
+    _flat_hashes,
+    _kgram_hashes,
+    _valid_positions,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -63,7 +69,9 @@ class CharLM:
 
 
 def _doc_hashes(text, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """(ngram hashes, ctx hashes) aligned by start position for one doc."""
+    """(ngram hashes, ctx hashes) aligned by start position for one doc —
+    the per-doc reference form (scalar mirror); the batch hot path is
+    `_batch_hashes`, bit-identical (test_batch_hashes_parity)."""
     cps = _codepoints(text)
     ng = _kgram_hashes(cps, n)
     if len(ng) == 0:
@@ -72,6 +80,19 @@ def _doc_hashes(text, n: int) -> tuple[np.ndarray, np.ndarray]:
     # one extra trailing entry (start len-n+1) that is NOT an n-gram start
     ctx = _kgram_hashes(cps, n - 1)[: len(ng)]
     return ng, ctx
+
+
+def _batch_hashes(texts, n: int
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(ngram hashes, ctx hashes, doc_idx, per-doc counts) for a whole
+    batch: ONE flat encode + two rolling-hash passes; ctx hashes are read
+    at the SAME flat positions as the n-grams (an (n-1)-gram inside a doc
+    wherever its n-gram is), so alignment is by construction."""
+    flat, lens = _flat_corpus(texts)
+    pos, doc_idx, nh = _valid_positions(lens, n)
+    ng = _flat_hashes(flat, n)[pos]
+    ctx = _flat_hashes(flat, n - 1)[pos] if len(pos) else ng
+    return ng, ctx, doc_idx, nh
 
 
 def train_char_lm(ds, n: int = 3, text_col: str = "text",
@@ -91,24 +112,20 @@ def train_char_lm(ds, n: int = 3, text_col: str = "text",
         raise ValueError("n must be >= 2 (conditional model needs context)")
 
     def partials(t: pa.Table) -> pa.Table:
-        ngs, ctxs, chars = [], [], []
-        for txt in t.column(text_col).to_pylist():
-            ng, ctx = _doc_hashes(txt, n)
-            if len(ng):
-                ngs.append(ng)
-                ctxs.append(ctx)
-            cps = _codepoints(txt)
-            if len(cps):
-                chars.append(np.unique(cps))
+        texts = t.column(text_col).to_pylist()
+        flat, lens = _flat_corpus(texts)
+        pos, _, _ = _valid_positions(lens, n)
+        ng = _flat_hashes(flat, n)[pos]
+        ctx = _flat_hashes(flat, n - 1)[pos] if len(pos) else ng
         keys, cnts, kinds = [], [], []
-        for kind, arrs, distinct in ((0, ctxs, False), (1, ngs, False),
-                                     (2, chars, True)):
-            if not arrs:
+        for kind, arr in ((0, ctx), (1, ng), (2, flat)):
+            if not len(arr):
                 continue
-            flat = np.concatenate(arrs)
-            k, c = np.unique(flat, return_counts=True)
+            k, c = np.unique(arr, return_counts=True)
+            if kind == 2:
+                c = np.ones(len(k), np.int64)  # distinct chars, not counts
             keys.append(k)
-            cnts.append(np.ones(len(k), np.int64) if distinct else c)
+            cnts.append(c.astype(np.int64))
             kinds.append(np.full(len(k), kind, np.int8))
         if not keys:
             return pa.table({"key": pa.array([], pa.int64()),
@@ -197,21 +214,16 @@ def lm_score(ds, model: CharLM, id_col: str = "doc_id",
 
     def score(t: pa.Table) -> pa.Table:
         m: CharLM = ray.get(model_ref)  # plasma zero-copy, once per batch
-        ngs, ctxs, lens = [], [], []
-        for txt in t.column(text_col).to_pylist():
-            ng, ctx = _doc_hashes(txt, m.n)
-            ngs.append(ng)
-            ctxs.append(ctx)
-            lens.append(len(ng))
-        lens = np.asarray(lens, np.int64)
-        bits = np.full(len(lens), np.nan)
-        nz = lens > 0
+        ng, ctx, _, nh = _batch_hashes(t.column(text_col).to_pylist(), m.n)
+        bits = np.full(len(nh), np.nan)
+        nz = nh > 0
         if nz.any():
-            flat = _score_arrays(m, np.concatenate(ngs),
-                                 np.concatenate(ctxs))
-            starts = np.zeros(int(nz.sum()), np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
-            bits[nz] = np.add.reduceat(flat, starts) / lens[nz]
+            pbits = _score_arrays(m, ng, ctx)
+            # per-doc segments are contiguous in pbits; zero-length docs
+            # collapse between consecutive nz starts, so reduceat over the
+            # nz starts alone sums exactly each doc's run
+            starts = (np.cumsum(nh) - nh)[nz]
+            bits[nz] = np.add.reduceat(pbits, starts) / nh[nz]
         return pa.table({
             id_col: t.column(id_col),
             out_col: pa.array(np.round(bits, 6), pa.float64(),

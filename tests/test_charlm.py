@@ -139,3 +139,28 @@ def test_guards():
     with pytest.raises(ValueError):
         train_char_lm(rd.from_arrow(pa.table({"text": ["abcdef ghij"]})),
                       n=3, max_types=1)
+
+
+def test_batch_hashes_parity():
+    """The whole-batch flat path (_batch_hashes) is bit-identical to the
+    per-doc reference (_doc_hashes) on fuzzed unicode incl. astral chars,
+    None, empty, and shorter-than-n docs."""
+    from nem_mms_ray.ops.charlm import _batch_hashes, _doc_hashes
+
+    rng = np.random.default_rng(9)
+    alphabet = list("abc def é中\U0001F600")
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, 40)))
+             for _ in range(150)] + [None, "", "ab", "abc"]
+    for n in (2, 3, 5):
+        ng, ctx, doc_idx, nh = _batch_hashes(texts, n)
+        rng_list, rctx_list, rnh = [], [], []
+        for t in texts:
+            a, b = _doc_hashes(t, n)
+            rng_list.append(a)
+            rctx_list.append(b)
+            rnh.append(len(a))
+        assert nh.tolist() == rnh, n
+        assert np.array_equal(ng, np.concatenate(rng_list)), n
+        assert np.array_equal(ctx, np.concatenate(rctx_list)), n
+        assert doc_idx.tolist() == [i for i, c in enumerate(rnh)
+                                    for _ in range(c)], n

@@ -202,3 +202,41 @@ def test_frequent_fp_guard_drops_boilerplate(ray_session):
     # "doc"/"says"/"things" fragments; the footer grams are dropped so the
     # 45-pair clique must not fully materialize
     assert len(boiler_pairs) < 45
+
+
+def test_flat_fast_path_parity():
+    """The whole-batch flat path (_batch_winnow_sets / _flat_hashes) is
+    output-identical to the per-doc reference (winnow_select /
+    _kgram_hashes) on fuzzed unicode incl. astral chars, None, empty,
+    shorter-than-k and shorter-than-window docs."""
+    from nem_mms_ray.ops.winnow import (_batch_winnow_sets, _flat_corpus,
+                                        _flat_hashes, _valid_positions)
+
+    rng = np.random.default_rng(42)
+    alphabet = list("abcdef é中\U0001F600")  # ascii+latin1+CJK+astral
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, 60)))
+             for _ in range(200)] + [None, "", "ab", "abcdefgh"]
+    for k, w in [(8, 4), (8, 1), (4, 9), (3, 2)]:
+        sdoc, fps = _batch_winnow_sets(texts, k, w)
+        # row order is unconstrained (consumers bucket/bincount) — compare
+        # the (doc, fp) sets against the per-doc reference
+        o = np.lexsort((fps, sdoc))
+        sdoc, fps = sdoc[o], fps[o]
+        ref_doc, ref_fp = [], []
+        for i, t in enumerate(texts):
+            s = winnow_select(_codepoints(t), k, w)
+            ref_doc.extend([i] * len(s))
+            ref_fp.extend(s.tolist())
+        assert sdoc.tolist() == ref_doc, (k, w)
+        assert fps.tolist() == ref_fp, (k, w)
+    # _flat_hashes == _kgram_hashes on the concatenated corpus
+    flat, lens = _flat_corpus(texts)
+    for k in (2, 5, 16):
+        assert np.array_equal(_flat_hashes(flat, k), _kgram_hashes(flat, k))
+    # and masked positions carve the same per-doc hash runs
+    pos, doc_idx, nh = _valid_positions(lens, 5)
+    hv = _flat_hashes(flat, 5)[pos]
+    cuts = np.cumsum(nh) - nh
+    for i in (0, 3, 201, 202, 203):
+        seg = hv[cuts[i]:cuts[i] + nh[i]]
+        assert np.array_equal(seg, _kgram_hashes(_codepoints(texts[i]), 5))
