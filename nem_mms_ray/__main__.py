@@ -29,6 +29,12 @@ Usage:
          # the composed flagship: extract -> curate -> encode, with
          # stage-level checkpoint resume; --lm-max-bits adds the CCNet
          # perplexity filter
+  python -m nem_mms_ray winnow DOCS.parquet -o OUT_DIR \
+         [--min-containment 0.5] [--k 8] [--window 4]
+         # substring-level dedup: winnowing fingerprints -> clusters ->
+         # keep each cluster's min-id representative
+  python -m nem_mms_ray lm DOCS.parquet -o OUT_DIR [--ref TRUSTED.parquet]
+         # char n-gram LM bits/char scoring (the CCNet filter signal)
   python -m nem_mms_ray scrub DOCS.parquet -o OUT_DIR
          # PII redaction (email/IP/SSN/phone/card) + corpus match totals
   python -m nem_mms_ray decontam DOCS.parquet -o OUT_DIR \
@@ -298,6 +304,59 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_winnow(args) -> int:
+    """Substring-level dedup (winnowing local fingerprints): drop all but
+    each substring-sharing cluster's min-id representative; writes the
+    surviving rows as parquet."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.winnow import winnow_dedup
+
+    ds = rd.read_parquet(_expand_inputs(args.inputs))
+    n_in = ds.count()
+    kept = winnow_dedup(ds, min_containment=args.min_containment,
+                        k=args.k, window=args.window,
+                        id_col=args.id_col, text_col=args.text_col)
+    kept.write_parquet(args.out)
+    n_out = rd.read_parquet(args.out).count()
+    print(json.dumps({"rows_in": int(n_in), "rows_kept": int(n_out),
+                      "dropped": int(n_in - n_out)}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
+def cmd_lm(args) -> int:
+    """Char n-gram LM perplexity scoring (the CCNet filter signal): train
+    on --ref (or the corpus itself) and write (id, lm_bits) parquet."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.charlm import lm_score, train_char_lm
+
+    ref = rd.read_parquet(_expand_inputs(args.ref), columns=[args.text_col]) \
+        if args.ref else rd.read_parquet(_expand_inputs(args.inputs),
+                                         columns=[args.text_col])
+    model = train_char_lm(ref, n=args.n, text_col=args.text_col,
+                          min_count=args.min_count)
+    scored = lm_score(
+        rd.read_parquet(_expand_inputs(args.inputs),
+                        columns=[args.id_col, args.text_col]),
+        model, id_col=args.id_col, text_col=args.text_col)
+    scored.write_parquet(args.out)
+    import pyarrow.parquet as pq
+
+    bits = pq.read_table(args.out).column("lm_bits").to_pandas()
+    print(json.dumps({"rows": int(len(bits)), "ngram_types": model.n_types,
+                      "charset": model.v,
+                      "bits_mean": round(float(bits.mean()), 4),
+                      "bits_p90": round(float(bits.quantile(0.9)), 4)}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def cmd_decontam(args) -> int:
     """Flag corpus docs sharing word n-grams with a benchmark parquet
     (same text column); writes (doc_id, n_grams, hits, overlap,
@@ -526,6 +585,33 @@ def main(argv: list[str] | None = None) -> int:
     psc.add_argument("--text-col", default="text")
     psc.add_argument("--num-cpus", type=int, default=None)
     psc.set_defaults(fn=cmd_scrub)
+
+    pwn = sub.add_parser("winnow", help="substring-level dedup: winnowing"
+                                        " fingerprints -> clusters -> keep"
+                                        " representative")
+    pwn.add_argument("inputs", nargs="+")
+    pwn.add_argument("-o", "--out", required=True)
+    pwn.add_argument("--min-containment", type=float, default=0.5)
+    pwn.add_argument("--k", type=int, default=8)
+    pwn.add_argument("--window", type=int, default=4)
+    pwn.add_argument("--id-col", default="doc_id")
+    pwn.add_argument("--text-col", default="text")
+    pwn.add_argument("--num-cpus", type=int, default=None)
+    pwn.set_defaults(fn=cmd_winnow)
+
+    plm = sub.add_parser("lm", help="char n-gram LM perplexity scoring"
+                                    " (CCNet filter signal)")
+    plm.add_argument("inputs", nargs="+")
+    plm.add_argument("-o", "--out", required=True)
+    plm.add_argument("--ref", nargs="+", default=None,
+                     help="trusted-text parquet(s) to train on"
+                          " (default: the corpus itself)")
+    plm.add_argument("--n", type=int, default=3)
+    plm.add_argument("--min-count", type=int, default=1)
+    plm.add_argument("--id-col", default="doc_id")
+    plm.add_argument("--text-col", default="text")
+    plm.add_argument("--num-cpus", type=int, default=None)
+    plm.set_defaults(fn=cmd_lm)
 
     pdx = sub.add_parser("decontam",
                          help="flag docs sharing word n-grams with a"

@@ -303,3 +303,39 @@ def winnow_dup_pairs(ds, k: int = 8, window: int = 4, min_shared: int = 1,
                          "containment": pa.array(cont)})
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def winnow_dedup(ds, min_containment: float = 0.5, min_shared: int = 2,
+                 k: int = 8, window: int = 4, id_col: str = "doc_id",
+                 text_col: str = "text", n_buckets: int = 256,
+                 max_fp_df: int | None = None):
+    """The substring-dedup ENDGAME (the minhash family's shape,
+    `ops/curate.curate_documents_near`): winnow pairs above the
+    containment threshold -> connected components -> keep only each
+    cluster's minimum-id representative.  Returns the surviving Dataset
+    with all input columns.
+
+    Containment (shared / min fingerprint count) is the span-copy signal:
+    at the 0.5 default a doc half-embedded in another clusters with it,
+    while ordinary phrase sharing does not.  The input is materialized
+    once — it is consumed by the fingerprint pass and the final anti-join
+    (a production run would checkpoint it to parquet instead)."""
+    import pyarrow.compute as pc
+
+    from nem_mms_ray.ops.curate import drop_ids
+    from nem_mms_ray.ops.dedup import connected_components
+
+    ds = ds.materialize()
+    pairs = winnow_dup_pairs(ds, k=k, window=window, min_shared=min_shared,
+                             id_col=id_col, text_col=text_col,
+                             n_buckets=n_buckets, max_fp_df=max_fp_df)
+    flagged = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("containment"),
+                                            min_containment)),
+        batch_format="pyarrow")
+    comps = connected_components(flagged)
+    losers = comps.map_batches(
+        lambda t: pa.table({"id": t.column("id").filter(
+            pc.not_equal(t.column("id"), t.column("component")))}),
+        batch_format="pyarrow")
+    return drop_ids(ds, losers, id_col=id_col)

@@ -242,3 +242,35 @@ def test_cli_bpe_train_and_reapply(ray_session, tmp_path, capsys):
                        ).to_pandas().sort_values("doc_id")
     assert c1["n_bpe_tokens"].tolist() == c2["n_bpe_tokens"].tolist()
     assert (c1["n_bpe_tokens"] >= 5).all()  # >= one token per word
+
+
+def test_cli_winnow_and_lm(ray_session, tmp_path, capsys):
+    """The winnow and lm arms end to end: substring-cluster collapse keeps
+    the representative; lm scoring writes (doc_id, lm_bits) with sane
+    stats JSON."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    core = " ".join(f"core{i:03d}" for i in range(60))
+    rng = np.random.default_rng(2)
+    vocab = [f"v{i}" for i in range(200)]
+    texts = [core, f"pre {core}", " ".join(rng.choice(vocab, 80)),
+             " ".join(rng.choice(vocab, 80))]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                             "text": pa.array(texts)}), src)
+
+    assert main(["winnow", str(src), "-o", str(tmp_path / "kept"),
+                 "--min-containment", "0.9"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows_in"] == 4 and out["rows_kept"] == 3
+    kept = pq.read_table(sorted((tmp_path / "kept").glob("*.parquet")))
+    assert sorted(kept.column("doc_id").to_pylist()) == [0, 2, 3]
+
+    assert main(["lm", str(src), "-o", str(tmp_path / "scored")]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows"] == 4 and out["ngram_types"] > 0
+    scored = pq.read_table(sorted((tmp_path / "scored").glob("*.parquet")))
+    assert scored.column_names == ["doc_id", "lm_bits"]
+    assert out["bits_mean"] > 0

@@ -240,3 +240,28 @@ def test_flat_fast_path_parity():
     for i in (0, 3, 201, 202, 203):
         seg = hv[cuts[i]:cuts[i] + nh[i]]
         assert np.array_equal(seg, _kgram_hashes(_codepoints(texts[i]), 5))
+
+
+def test_winnow_dedup_endgame(ray_session):
+    """Pairs -> components -> representative: a three-doc substring-copy
+    cluster collapses to its min id, unrelated docs survive, and the
+    containment threshold separates span-copies from phrase sharing."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops.winnow import winnow_dedup
+
+    core = " ".join(f"core{i:03d}" for i in range(60))
+    rows = pa.table({
+        "doc_id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+        "text": pa.array([
+            core,                              # cluster: whole doc...
+            f"prefix one {core}",              # ...embedded here
+            f"{core} suffix two",              # ...and here
+            " ".join(f"solo{i:03d}" for i in range(80)),
+            " ".join(f"other{i:03d}" for i in range(80)),
+        ]),
+    })
+    kept = winnow_dedup(rd.from_arrow(rows), min_containment=0.9
+                        ).to_pandas().sort_values("doc_id")
+    assert kept["doc_id"].tolist() == [10, 20, 21]
+    assert set(kept.columns) == {"doc_id", "text"}
