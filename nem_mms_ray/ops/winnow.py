@@ -89,11 +89,12 @@ def _kgram_hashes(cps: np.ndarray, k: int) -> np.ndarray:
 
 
 def _flat_corpus(texts) -> tuple[np.ndarray, np.ndarray]:
-    """(flat codepoints uint64, per-doc codepoint lengths) for a whole
-    batch — ONE join + utf-32 encode instead of per-doc encodes."""
+    """(flat codepoints uint32, per-doc codepoint lengths) for a whole
+    batch — ONE join + utf-32 encode instead of per-doc encodes.  uint32
+    is the C kernel's input form; the numpy arithmetic below upcasts to
+    uint64 where it multiplies."""
     joined = "".join(t if t else "" for t in texts)
-    flat = np.frombuffer(joined.encode("utf-32-le"), np.uint32
-                         ).astype(np.uint64)
+    flat = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
     lens = np.fromiter((len(t) if t else 0 for t in texts), np.int64,
                        count=len(texts))
     return flat, lens
@@ -149,6 +150,21 @@ def winnow_select(cps: np.ndarray, k: int, window: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _perdoc_unique(sel: np.ndarray, sdoc: np.ndarray, ndocs: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, distinct fps) from run-deduped doc-major (sel, sdoc):
+    per-doc np.unique over the pre-sliced contiguous segments — measured
+    ~7x cheaper than a global lexsort of the same rows."""
+    if not len(sel):
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    cnts = np.bincount(sdoc, minlength=ndocs)
+    cuts = np.concatenate([[0], np.cumsum(cnts)])
+    outs = [np.unique(sel[cuts[i]:cuts[i + 1]]) for i in range(ndocs)]
+    ucnt = np.fromiter((len(o) for o in outs), np.int64, count=ndocs)
+    return (np.repeat(np.arange(ndocs, dtype=np.int64), ucnt),
+            np.concatenate(outs))
+
+
 def _batch_winnow_sets(texts, k: int, window: int
                        ) -> tuple[np.ndarray, np.ndarray]:
     """(doc_idx, fp) of every doc's distinct selected fingerprints — the
@@ -161,9 +177,20 @@ def _batch_winnow_sets(texts, k: int, window: int
     that is the point of winnowing), then per-doc np.unique over the
     pre-sliced segments (measured ~7x cheaper than a global lexsort).
     2.1x over the per-doc loop on 1.2 KB docs, 3.5x on 300 B docs
-    (BASELINE.md r5); the residual wall is the rolling-hash pass itself."""
+    (BASELINE.md r5).  The C kernel (`winnow_kernel.c`) replaces the
+    hash+min+dedup middle with one fused pass when a compiler is present
+    (bit-identical values — Rabin-Karp update of the same polynomial;
+    test_native_kernel_parity) and the residual wall becomes the encode +
+    per-doc unique tail."""
     ndocs = len(texts)
     flat, lens = _flat_corpus(texts)
+    from nem_mms_ray.ops import _winnow_native
+
+    native = _winnow_native.winnow_batch(flat, lens, k, window, int(_B))
+    if native is not None:
+        sel, cnts = native
+        sdoc = np.repeat(np.arange(ndocs, dtype=np.int64), cnts)
+        return _perdoc_unique(sel, sdoc, ndocs)
     h = _flat_hashes(flat, k)
     pos, _, nh = _valid_positions(lens, k)
     hv = h[pos]  # per-doc k-gram hash runs, concatenated
@@ -200,15 +227,7 @@ def _batch_winnow_sets(texts, k: int, window: int
         run = np.empty(len(sel), np.bool_)
         run[0] = True
         run[1:] = (sel[1:] != sel[:-1]) | (sdoc[1:] != sdoc[:-1])
-        sel, sdoc = sel[run], sdoc[run]
-        # per-doc distinct: segments are contiguous (sdoc nondecreasing);
-        # np.unique over each pre-sliced run beats any global sort
-        cnts = np.bincount(sdoc, minlength=ndocs)
-        cuts = np.concatenate([[0], np.cumsum(cnts)])
-        outs = [np.unique(sel[cuts[i]:cuts[i + 1]]) for i in range(ndocs)]
-        ucnt = np.fromiter((len(o) for o in outs), np.int64, count=ndocs)
-        sdoc = np.repeat(np.arange(ndocs, dtype=np.int64), ucnt)
-        sel = np.concatenate(outs) if outs else empty[1]
+        sdoc, sel = _perdoc_unique(sel[run], sdoc[run], ndocs)
     elif sel is None:
         sdoc, sel = empty
     # truncated docs (0 < nh < w) keep their global min — rare: only docs

@@ -265,3 +265,31 @@ def test_winnow_dedup_endgame(ray_session):
                         ).to_pandas().sort_values("doc_id")
     assert kept["doc_id"].tolist() == [10, 20, 21]
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_native_kernel_parity(monkeypatch):
+    """C kernel path == numpy path, row-for-row, on fuzzed unicode (the
+    setops-kernel convention: force the fallback by monkeypatching the
+    glue, compare both whole-batch outputs)."""
+    from nem_mms_ray.ops import _winnow_native
+    from nem_mms_ray.ops.winnow import _batch_winnow_sets
+
+    if _winnow_native.get_lib() is None:
+        import pytest
+        pytest.skip("no C compiler in this environment")
+
+    rng = np.random.default_rng(17)
+    alphabet = list("abcdef gh é中\U0001F600")
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, 300)))
+             for _ in range(300)] + [None, "", "abcdefgh", "x" * 7]
+    for k, w in [(8, 4), (8, 1), (5, 64), (3, 2), (4, 9)]:
+        with_c = _batch_winnow_sets(texts, k, w)
+        with monkeypatch.context() as mp:
+            mp.setattr(_winnow_native, "winnow_batch",
+                       lambda *a, **kw: None)
+            no_c = _batch_winnow_sets(texts, k, w)
+        # numpy path appends truncated docs out of order — compare sorted
+        oc = np.lexsort((with_c[1], with_c[0]))
+        on = np.lexsort((no_c[1], no_c[0]))
+        assert np.array_equal(with_c[0][oc], no_c[0][on]), (k, w)
+        assert np.array_equal(with_c[1][oc], no_c[1][on]), (k, w)
