@@ -1342,28 +1342,43 @@ def connected_components(pairs, max_iters: int = 25,
         return pa.table({"src": pa.array(np.concatenate([a, b])),
                          "dst": pa.array(np.concatenate([b, a]))})
 
-    edges = pairs.select_columns(["a", "b"]).map_batches(
-        symmetrize, batch_format="pyarrow").materialize()
-    n_edges = edges.count()
-    if n_edges == 0:
+    raw = pairs.select_columns(["a", "b"]).materialize()
+    n_pairs = raw.count()
+    if n_pairs == 0:
         # no pairs -> no components; the empty-block Dataset would lose
         # its schema before the join (observed: Arrow "no match for key
         # field src"), so return a TYPED empty result instead
         return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
                                        "component": pa.array([], pa.int64())}))
-    if n_edges <= max_local_edges:
+    if 2 * n_pairs <= max_local_edges:
         # small-graph shortcut: every distributed round costs ~seconds of
         # hash-join actor overhead regardless of size (observed: 112k
         # edges, 396s through the join path), while path-compressed
         # union-find on the driver is O(E a(E)) — milliseconds.  16 B/edge:
         # the default 5M-edge ceiling is ~80 MB of driver heap.  Same
-        # min-id-representative contract as the distributed path.
+        # min-id-representative contract as the distributed path.  Union-
+        # find treats edges as undirected, so the raw (a, b) list streams
+        # straight to the driver — no symmetrize pass, no second
+        # materialize (those existed only for the distributed rounds).
         t = pa.concat_tables(
-            [b for b in edges.iter_batches(batch_format="pyarrow")])
-        src = np.asarray(t.column("src"), np.int64)
-        dst = np.asarray(t.column("dst"), np.int64)
+            [b for b in raw.iter_batches(batch_format="pyarrow")])
+        src = np.asarray(t.column("a"), np.int64)
+        dst = np.asarray(t.column("b"), np.int64)
         nodes, codes = np.unique(np.concatenate([src, dst]),
                                  return_inverse=True)
+        half = len(src)
+        from nem_mms_ray.ops import _setops_native
+
+        # C union-find when a compiler is present (test_cc_native_parity:
+        # identical labels) — the interpreted loop below costs ~1us/edge,
+        # the kernel ~50ns/edge (2.0s -> 0.14s on a 2.37M-edge graph; the
+        # loop was the CC stage's dominant cost on the sf0.1 flagship)
+        par = _setops_native.union_find_minroot(
+            codes[:half], codes[half:], len(nodes))
+        if par is not None:
+            comp = nodes[par]
+            return rd.from_arrow(pa.table({"id": pa.array(nodes),
+                                           "component": pa.array(comp)}))
         parent = np.arange(len(nodes), dtype=np.int64)
 
         def find(x: int) -> int:
@@ -1374,7 +1389,6 @@ def connected_components(pairs, max_iters: int = 25,
                 parent[x], x = root, parent[x]
             return root
 
-        half = len(src)
         for a_c, b_c in zip(codes[:half].tolist(), codes[half:].tolist()):
             ra, rb = find(a_c), find(b_c)
             if ra != rb:
@@ -1386,6 +1400,9 @@ def connected_components(pairs, max_iters: int = 25,
         comp = np.array([nodes[find(i)] for i in range(len(nodes))], np.int64)
         return rd.from_arrow(pa.table({"id": pa.array(nodes),
                                        "component": pa.array(comp)}))
+    # distributed rounds need the symmetrized edge list (labels propagate
+    # along both directions of every pair)
+    edges = raw.map_batches(symmetrize, batch_format="pyarrow").materialize()
     # size the join from the edge list (count is free on a materialized
     # dataset): each round's join/groupby traffic is proportional to it
     num_partitions = _join_partitions(num_partitions,

@@ -165,6 +165,7 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
     from nem_mms_ray.ops.curate import (curate_documents_near,
                                         curate_documents_with_text,
                                         drop_ids, keep_ids)
+    from nem_mms_ray.ops.readutil import read_parquet_sized
     from nem_mms_ray.ops.webextract import extract_text
     from nem_mms_ray.pipelines.encode import encode_files
     from nem_mms_ray.state.manifest import Manifest
@@ -226,8 +227,8 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
                 from nem_mms_ray.ops.urltools import domain_cap as _dcap
 
                 cap_winners = _dcap(
-                    rd.read_parquet(str(extracted),
-                                    columns=["doc_id", "url"]),
+                    read_parquet_sized(str(extracted),
+                                       columns=["doc_id", "url"]),
                     cap=domain_cap).map_batches(
                         lambda t: pa.table(
                             {"id": t.column("doc_id").cast(pa.int64())}),
@@ -240,8 +241,11 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
                 text_map = scrub_text
 
             def src():
-                ds = rd.read_parquet(str(extracted),
-                                     columns=["doc_id", "text"])
+                # sized read: the extract checkpoint is many small files
+                # (one per upstream block); Ray's default ~200-way split
+                # would hand the curate shuffles hundreds of tiny blocks
+                ds = read_parquet_sized(str(extracted),
+                                        columns=["doc_id", "text"])
                 if cap_winners is not None:
                     ds = keep_ids(ds, cap_winners)
                 return ds

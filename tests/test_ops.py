@@ -1470,3 +1470,37 @@ def test_connected_components_local_matches_distributed(ray_session):
     assert {m[i] for i in (1, 2, 3, 4, 5, 6, 7)} == {1}
     assert {m[i] for i in (10, 11, 12)} == {10}
     assert m[50] == 50 and m[51] == 50
+
+
+def test_cc_native_parity(ray_session, monkeypatch):
+    """C union-find == interpreted union-find, label-for-label, on a
+    fuzzed multigraph (self-loops, duplicate edges, chains that exercise
+    path compression) — and both equal min-reachable-id semantics."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops import _setops_native
+    from nem_mms_ray.ops.dedup import connected_components
+
+    if _setops_native.get_lib() is None:
+        pytest.skip("no C compiler in this environment")
+
+    rng = np.random.default_rng(11)
+    ids = rng.choice(np.arange(0, 1 << 40, 7919, dtype=np.int64), 400,
+                     replace=False)
+    a = rng.choice(ids, 3000)
+    b = rng.choice(ids, 3000)
+    # long chain: worst case for naive union trees
+    chain = np.sort(rng.choice(ids, 200, replace=False))
+    pairs = pd.DataFrame({
+        "a": np.concatenate([a, chain[:-1]]),
+        "b": np.concatenate([b, chain[1:]]),
+        "jaccard": 1.0,
+    })
+    with_c = (connected_components(rd.from_pandas(pairs))
+              .to_pandas().sort_values("id").reset_index(drop=True))
+    with monkeypatch.context() as mp:
+        mp.setattr(_setops_native, "union_find_minroot",
+                   lambda *x: None)
+        no_c = (connected_components(rd.from_pandas(pairs))
+                .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(with_c, no_c)
