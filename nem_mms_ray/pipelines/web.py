@@ -188,9 +188,13 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
                 ids = _url_ids(t.column("url"))
                 return t.append_column("doc_id", pa.array(ids))
 
+            # sized read: block count follows input bytes (not Ray's fixed
+            # ~200-way split), so the checkpoint written below is a few
+            # right-sized files instead of hundreds of tiny ones — the
+            # downstream curate re-read and its shuffles inherit the shape
             extract_text(
-                rd.read_parquet([str(p) for p in input_paths],
-                                columns=["url", "warc_ts", "html"]),
+                read_parquet_sized([str(p) for p in input_paths],
+                                   columns=["url", "warc_ts", "html"]),
                 html_col="html", out_col="text",
             ).map_batches(add_ids, batch_format="pyarrow").write_parquet(tmp)
 
