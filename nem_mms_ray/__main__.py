@@ -192,6 +192,35 @@ def cmd_near_dedup(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """SemDeDup semantic dedup over an embeddings table: k-means
+    centroids (deterministic sample, optionally refined by distributed
+    Lloyd iterations) -> nearest-centroid assignment -> within-cluster
+    cosine prune; writes the SURVIVING (id, cluster) rows as parquet."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.ann import build_ivf_centroids, train_kmeans
+    from nem_mms_ray.ops.semdedup import semdedup
+
+    ds = rd.read_parquet(args.inputs, columns=[args.id_col, args.vec_col])
+    cents = build_ivf_centroids(ds, args.clusters, args.vec_col)
+    if args.kmeans_iters > 0:
+        cents, _ = train_kmeans(ds, args.clusters, args.vec_col,
+                                n_iters=args.kmeans_iters, init=cents)
+    kept = semdedup(ds, cents, threshold=args.threshold,
+                    id_col=args.id_col, vec_col=args.vec_col)
+    kept.write_parquet(args.out)
+    n_in = ds.count()
+    n_kept = rd.read_parquet(args.out).count()
+    print(json.dumps({"rows_in": int(n_in), "rows_kept": int(n_kept),
+                      "semantic_dups_dropped": int(n_in - n_kept),
+                      "clusters": int(args.clusters)}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Quality/lang gate + exact dedup over a documents table; writes the
     surviving (doc_id, lang_pred, quality) labels as parquet — or, with
@@ -549,6 +578,22 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("--text-col", default="text")
     pn.add_argument("--num-cpus", type=int, default=None)
     pn.set_defaults(fn=cmd_near_dedup)
+
+    psd = sub.add_parser("semdedup",
+                         help="semantic dedup: k-means clusters -> within-"
+                              "cluster cosine prune -> surviving (id, "
+                              "cluster) parquet")
+    psd.add_argument("inputs", nargs="+")
+    psd.add_argument("-o", "--out", required=True)
+    psd.add_argument("--threshold", type=float, default=0.95)
+    psd.add_argument("--clusters", type=int, default=16)
+    psd.add_argument("--kmeans-iters", type=int, default=0,
+                     help="distributed Lloyd refinement passes over the "
+                          "full corpus (0 = deterministic sample centroids)")
+    psd.add_argument("--id-col", default="vec_id")
+    psd.add_argument("--vec-col", default="embedding")
+    psd.add_argument("--num-cpus", type=int, default=None)
+    psd.set_defaults(fn=cmd_semdedup)
 
     pw = sub.add_parser("web", help="composed flagship: extract -> curate"
                                     " -> encode with stage checkpoints")

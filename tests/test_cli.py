@@ -274,3 +274,32 @@ def test_cli_winnow_and_lm(ray_session, tmp_path, capsys):
     scored = pq.read_table(sorted((tmp_path / "scored").glob("*.parquet")))
     assert scored.column_names == ["doc_id", "lm_bits"]
     assert out["bits_mean"] > 0
+
+
+def test_cli_semdedup(ray_session, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from nem_mms_ray.__main__ import main
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(60, 8))
+    x[40] = x[5] * 2.0   # scaled copies: cosine exactly 1.0
+    x[41] = x[6] * 3.0
+    src = tmp_path / "emb.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in x]),
+    }), str(src))
+    main(["semdedup", str(src), "-o", str(tmp_path / "sd"),
+          "--clusters", "4", "--threshold", "0.95"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_in"] == 60
+    assert res["semantic_dups_dropped"] == 2
+    t = pq.read_table(str(tmp_path / "sd")).to_pandas()
+    kept = set(t["vec_id"])
+    assert 5 in kept and 6 in kept
+    assert 40 not in kept and 41 not in kept
