@@ -221,6 +221,23 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_shard(args) -> int:
+    """Deterministic shuffle-shard: the training-output step.  Same
+    corpus + same seed => byte-identical shard layout on any cluster."""
+    ray, owned = _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from nem_mms_ray.ops.shard import write_training_shards
+
+    ds = rd.read_parquet(args.inputs)
+    res = write_training_shards(ds, args.out, n_shards=args.shards,
+                                seed=args.seed, id_col=args.id_col)
+    print(json.dumps(res))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Quality/lang gate + exact dedup over a documents table; writes the
     surviving (doc_id, lang_pred, quality) labels as parquet — or, with
@@ -594,6 +611,18 @@ def main(argv: list[str] | None = None) -> int:
     psd.add_argument("--vec-col", default="embedding")
     psd.add_argument("--num-cpus", type=int, default=None)
     psd.set_defaults(fn=cmd_semdedup)
+
+    psh = sub.add_parser("shard",
+                         help="deterministic global shuffle -> hive-"
+                              "partitioned training shards (pure function "
+                              "of seed + id: identical on any cluster)")
+    psh.add_argument("inputs", nargs="+")
+    psh.add_argument("-o", "--out", required=True)
+    psh.add_argument("--shards", type=int, default=8)
+    psh.add_argument("--seed", type=int, default=0)
+    psh.add_argument("--id-col", default="doc_id")
+    psh.add_argument("--num-cpus", type=int, default=None)
+    psh.set_defaults(fn=cmd_shard)
 
     pw = sub.add_parser("web", help="composed flagship: extract -> curate"
                                     " -> encode with stage checkpoints")

@@ -303,3 +303,25 @@ def test_cli_semdedup(ray_session, tmp_path, capsys):
     kept = set(t["vec_id"])
     assert 5 in kept and 6 in kept
     assert 40 not in kept and 41 not in kept
+
+
+def test_cli_shard(ray_session, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from nem_mms_ray.__main__ import main
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "text": pa.array([f"d{i}" for i in range(300)]),
+    }), str(src))
+    main(["shard", str(src), "-o", str(tmp_path / "sh"),
+          "--shards", "3", "--seed", "5"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {"rows": 300, "n_shards": 3}
+    dirs = sorted(p.name for p in (tmp_path / "sh").iterdir() if p.is_dir())
+    assert dirs == ["shard_id=0", "shard_id=1", "shard_id=2"]
