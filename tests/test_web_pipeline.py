@@ -348,3 +348,22 @@ def test_web_pipeline_lm_filter(ray_session, tmp_path):
     s3 = web_pipeline([str(src)], tmp_path / "out3", lm_max_bits=thr,
                       lm_ref_paths=[ref])
     assert s3["stages"]["curate"]["rows"] == 4
+
+
+def test_sized_num_blocks():
+    """Block count follows input bytes with a 2x-CPU floor."""
+    from nem_mms_ray.ops.readutil import sized_num_blocks
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile, pathlib
+
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "t.parquet"
+        pq.write_table(pa.table({"x": list(range(1000))}), str(p))
+        sz = p.stat().st_size
+        # tiny file -> the floor wins
+        assert sized_num_blocks([str(p)], min_blocks=16) == 16
+        # force byte-targeting: target = one file's bytes -> n files blocks
+        assert sized_num_blocks([str(p)] * 64, target_block_bytes=sz,
+                                min_blocks=4) == 64
