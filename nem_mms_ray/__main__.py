@@ -281,7 +281,8 @@ def cmd_web(args) -> int:
         benchmark_paths=args.benchmark or None,
         decontam_ngram=args.decontam_ngram,
         lm_max_bits=args.lm_max_bits, lm_ref_paths=args.lm_ref or None,
-        lm_ngram=args.lm_ngram)
+        lm_ngram=args.lm_ngram, shards=args.shards,
+        shard_seed=args.shard_seed)
     print(json.dumps(summary))
     if owned:
         ray.shutdown()
@@ -649,6 +650,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="trusted-text parquet(s) to train the LM on "
                          "(default: the curated corpus itself)")
     pw.add_argument("--lm-ngram", type=int, default=3)
+    pw.add_argument("--shards", type=int, default=None,
+                    help="also write the curated corpus as N training "
+                         "shards (deterministic shuffle, ops/shard)")
+    pw.add_argument("--shard-seed", type=int, default=0)
     pw.add_argument("--num-cpus", type=int, default=None)
     pw.set_defaults(fn=cmd_web)
 

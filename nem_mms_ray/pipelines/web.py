@@ -110,7 +110,8 @@ def _run_stage(stage_dir: Path, plan: dict, write_fn) -> dict:
     tmp.mkdir(parents=True)
     write_fn(str(tmp))
     rows = sum(pq.ParquetFile(p).metadata.num_rows
-               for p in tmp.glob("*.parquet"))
+               for p in tmp.rglob("*.parquet"))  # rglob: the shards stage
+    # writes hive-partitioned subdirs; flat stages are unaffected
     rec = {"plan": plan, "rows": int(rows)}
     (tmp / _STAGE_MARKER).write_text(json.dumps(rec))
     tmp.rename(stage_dir)
@@ -124,7 +125,8 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
                  scrub: bool = False, domain_cap: int | None = None,
                  benchmark_paths=None, decontam_ngram: int = 8,
                  lm_max_bits: float | None = None, lm_ref_paths=None,
-                 lm_ngram: int = 3) -> dict:
+                 lm_ngram: int = 3, shards: int | None = None,
+                 shard_seed: int = 0) -> dict:
     """Run extract -> curate -> encode over a web table; returns a
     summary dict with per-stage rows, seconds, and the encode ratio.
 
@@ -342,5 +344,34 @@ def web_pipeline(input_paths, out_dir, quality_min: float = 0.0,
         summary["stages"]["verify"] = {
             "sec": round(time.monotonic() - t0, 3),
             "ok": bool(v["ok"].all()),
+        }
+
+    # --- stage 4 (opt-in): training shards ---------------------------------
+    # the OTHER output form: the curated corpus deterministically shuffled
+    # into hive-partitioned reader shards (ops/shard) — same crash-atomic
+    # checkpoint discipline as the other stages, plan pinned by
+    # (shards, seed) + the curate lineage
+    if shards is not None:
+        from nem_mms_ray.ops.shard import assign_shards
+
+        t0 = time.monotonic()
+        sh_dir = out_dir / "shards"
+        sh_plan = {"stage": "shards", "n": int(shards),
+                   "seed": int(shard_seed),
+                   "upstream": {"plan": cur_plan, "rows": int(cur_rec["rows"])}}
+        sh_rec = resume and _stage_complete(sh_dir, sh_plan)
+        if not sh_rec:
+
+            def write_shards(tmp: str) -> None:
+                assign_shards(read_parquet_sized(str(curated)),
+                              n_shards=shards, seed=shard_seed,
+                              ).sort("skey").write_parquet(
+                    tmp, partition_cols=["shard_id"])
+
+            sh_rec = _run_stage(sh_dir, sh_plan, write_shards)
+        summary["stages"]["shards"] = {
+            "sec": round(time.monotonic() - t0, 3),
+            "rows": int(sh_rec["rows"]),
+            "n_shards": int(shards),
         }
     return summary

@@ -367,3 +367,39 @@ def test_sized_num_blocks():
         # force byte-targeting: target = one file's bytes -> n files blocks
         assert sized_num_blocks([str(p)] * 64, target_block_bytes=sz,
                                 min_blocks=4) == 64
+
+
+def test_web_pipeline_shards_stage(ray_session, tmp_path):
+    """--shards: the curated corpus lands as hive training shards, fully
+    covering the curated rows; resume skips on same (n, seed) and re-runs
+    on a changed seed (plan pinning)."""
+    from nem_mms_ray.pipelines.web import web_pipeline
+
+    src = tmp_path / "web.parquet"
+    _write_webtable(str(src), [
+        {"url": f"http://s/{i}",
+         "html": f"<p>{EN} doc {i}</p>".encode()}
+        for i in range(40)
+    ])
+    out = tmp_path / "out"
+    s1 = web_pipeline([str(src)], out, shards=4, shard_seed=1, resume=False)
+    assert s1["stages"]["shards"]["rows"] == s1["stages"]["curate"]["rows"]
+    assert s1["stages"]["shards"]["n_shards"] == 4
+    dirs = sorted(p.name for p in (out / "shards").iterdir() if p.is_dir())
+    assert all(d.startswith("shard_id=") for d in dirs)
+    covered = pq.read_table(str(out / "shards")).to_pandas()
+    assert len(covered) == s1["stages"]["curate"]["rows"]
+    assert covered["doc_id"].is_unique
+
+    # resume on same plan: skip (marker honored)
+    s2 = web_pipeline([str(src)], out, shards=4, shard_seed=1, resume=True)
+    assert s2["stages"]["shards"]["rows"] == s1["stages"]["shards"]["rows"]
+    before = {p.name for p in (out / "shards").rglob("*.parquet")}
+
+    # changed seed: plan mismatch -> stage re-runs (files replaced)
+    s3 = web_pipeline([str(src)], out, shards=4, shard_seed=2, resume=True)
+    after = {p.name for p in (out / "shards").rglob("*.parquet")}
+    assert s3["stages"]["shards"]["rows"] == s1["stages"]["shards"]["rows"]
+    assert before != after or (
+        pq.read_table(str(out / "shards")).to_pandas()["skey"].tolist()
+        != covered["skey"].tolist())
