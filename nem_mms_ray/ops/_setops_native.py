@@ -61,6 +61,12 @@ def _compile() -> ctypes.CDLL | None:
     lib.union_find_minroot.restype = None
     lib.union_find_minroot.argtypes = [
         _i64p, _i64p, ctypes.c_long, _i64p, ctypes.c_long]
+    lib.union_find_init.restype = None
+    lib.union_find_init.argtypes = [_i64p, ctypes.c_long]
+    lib.union_find_edges.restype = None
+    lib.union_find_edges.argtypes = [_i64p, _i64p, ctypes.c_long, _i64p]
+    lib.union_find_flatten.restype = None
+    lib.union_find_flatten.argtypes = [_i64p, ctypes.c_long]
     return lib
 
 
@@ -163,3 +169,39 @@ def union_find_minroot(src_codes: np.ndarray, dst_codes: np.ndarray,
         ctypes.c_long(len(src_codes)), parent.ctypes.data_as(_i64p),
         ctypes.c_long(int(n_nodes)))
     return parent
+
+
+class StreamingUnionFind:
+    """Incremental union-find over STREAMED edge batches (the
+    connected-components middle regime): memory is O(nodes), edges are
+    consumed batch-by-batch and never held together.  Node ids must be
+    pre-mapped to dense codes 0..n_nodes-1 sorted by id (np.unique
+    order), so the flattened parent's root is each set's minimum id —
+    `union_find_minroot` semantics, batch-wise.  None from the factory
+    means no C kernel (caller falls back)."""
+
+    def __init__(self, n_nodes: int, parent: np.ndarray, lib):
+        self._lib = lib
+        self.parent = parent
+
+    @classmethod
+    def create(cls, n_nodes: int) -> "StreamingUnionFind | None":
+        lib = get_lib()
+        if lib is None:
+            return None
+        parent = np.empty(int(n_nodes), np.int64)
+        lib.union_find_init(parent.ctypes.data_as(_i64p),
+                            ctypes.c_long(int(n_nodes)))
+        return cls(n_nodes, parent, lib)
+
+    def add_edges(self, src_codes: np.ndarray, dst_codes: np.ndarray) -> None:
+        src_codes = np.ascontiguousarray(src_codes, np.int64)
+        dst_codes = np.ascontiguousarray(dst_codes, np.int64)
+        self._lib.union_find_edges(
+            src_codes.ctypes.data_as(_i64p), dst_codes.ctypes.data_as(_i64p),
+            ctypes.c_long(len(src_codes)), self.parent.ctypes.data_as(_i64p))
+
+    def flatten(self) -> np.ndarray:
+        self._lib.union_find_flatten(self.parent.ctypes.data_as(_i64p),
+                                     ctypes.c_long(len(self.parent)))
+        return self.parent

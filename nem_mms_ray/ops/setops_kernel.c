@@ -120,3 +120,32 @@ void union_find_minroot(const int64_t *src, const int64_t *dst,
         while (parent[x] != r) { int64_t nx = parent[x]; parent[x] = r; x = nx; }
     }
 }
+
+/* Incremental form of union_find_minroot for STREAMED edge lists:
+ * the caller inits parent once, feeds any number of edge batches (each
+ * a src/dst code pair array), and flattens at the end.  Memory is
+ * O(nodes); edges never need to exist in one buffer.  Semantics match
+ * union_find_minroot exactly (same union-by-min-root, path halving). */
+void union_find_init(int64_t *parent, long n_nodes) {
+    for (long i = 0; i < n_nodes; i++) parent[i] = i;
+}
+
+void union_find_edges(const int64_t *src, const int64_t *dst,
+                      long n_edges, int64_t *parent) {
+    for (long e = 0; e < n_edges; e++) {
+        int64_t a = src[e], b = dst[e];
+        while (parent[a] != a) { parent[a] = parent[parent[a]]; a = parent[a]; }
+        while (parent[b] != b) { parent[b] = parent[parent[b]]; b = parent[b]; }
+        if (a == b) continue;
+        if (a < b) parent[b] = a; else parent[a] = b;
+    }
+}
+
+void union_find_flatten(int64_t *parent, long n_nodes) {
+    for (long i = 0; i < n_nodes; i++) {
+        int64_t r = i;
+        while (parent[r] != r) r = parent[r];
+        int64_t x = i;
+        while (parent[x] != r) { int64_t nx = parent[x]; parent[x] = r; x = nx; }
+    }
+}

@@ -1504,3 +1504,39 @@ def test_cc_native_parity(ray_session, monkeypatch):
         no_c = (connected_components(rd.from_pandas(pairs))
                 .to_pandas().sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(with_c, no_c)
+
+
+def test_cc_regimes_identical(ray_session):
+    """LOCAL (full pull), STREAMING (incremental C union-find), and
+    DISTRIBUTED (label propagation) produce identical labelings on a
+    fuzzed graph with chains, triangles, isolated pairs, and 64-bit ids."""
+    import ray.data as rd
+
+    from nem_mms_ray.ops import _setops_native
+    from nem_mms_ray.ops.dedup import connected_components
+
+    rng = np.random.default_rng(41)
+    ids = rng.choice(np.arange(0, 1 << 62, (1 << 40) + 9, dtype=np.int64),
+                     300, replace=False)
+    a = rng.choice(ids, 1500)
+    b = rng.choice(ids, 1500)
+    chain = np.sort(rng.choice(ids, 120, replace=False))
+    pairs = pd.DataFrame({"a": np.concatenate([a, chain[:-1]]),
+                          "b": np.concatenate([b, chain[1:]]),
+                          "jaccard": 1.0})
+    ds = rd.from_pandas(pairs).repartition(5)
+
+    def run(**kw):
+        return (connected_components(ds, **kw)
+                .to_pandas().sort_values("id").reset_index(drop=True))
+
+    local = run()
+    dist = run(max_local_edges=0, max_local_nodes=0)
+    pd.testing.assert_frame_equal(local, dist)
+    if _setops_native.get_lib() is not None:
+        streaming = run(max_local_edges=0)  # node ceiling default: huge
+        pd.testing.assert_frame_equal(local, streaming)
+        # ceiling smaller than the node count -> falls through to
+        # distributed, still identical
+        fallthrough = run(max_local_edges=0, max_local_nodes=10)
+        pd.testing.assert_frame_equal(local, fallthrough)
