@@ -25,10 +25,18 @@ Usage:
          [--threshold 0.8]         # minhash pairs -> cluster components
   python -m nem_mms_ray web WEB.parquet [WEB2...] -o OUT_DIR \
          [--quality-min 0.5] [--lang en] [--near-dedup] [--verify] \
-         [--lm-max-bits 1.2 [--lm-ref TRUSTED.parquet] [--lm-ngram 3]]
+         [--lm-max-bits 1.2 [--lm-ref TRUSTED.parquet] [--lm-ngram 3]] \
+         [--shards 64 [--shard-seed 0]]
          # the composed flagship: extract -> curate -> encode, with
          # stage-level checkpoint resume; --lm-max-bits adds the CCNet
-         # perplexity filter
+         # perplexity filter; --shards also writes the curated corpus
+         # as deterministic training shards
+  python -m nem_mms_ray semdedup EMB.parquet -o OUT_DIR \
+         [--clusters 16] [--threshold 0.95] [--kmeans-iters 2]
+         # SemDeDup: within-k-means-cluster cosine prune
+  python -m nem_mms_ray shard DOCS.parquet -o OUT_DIR \
+         [--shards 8] [--seed 0]
+         # deterministic global shuffle -> hive training shards
   python -m nem_mms_ray winnow DOCS.parquet -o OUT_DIR \
          [--min-containment 0.5] [--k 8] [--window 4]
          # substring-level dedup: winnowing fingerprints -> clusters ->
