@@ -373,6 +373,11 @@ class LangId:
             (len(self.all_keys), len(self.langs)), bool)
         for j, keys in enumerate(self.key_tables):
             self.key_lang_mask[np.searchsorted(self.all_keys, keys), j] = True
+        # per-key language BITMASK for the fused C kernel (langid_kernel.c)
+        self.lang_bits = np.zeros(len(self.all_keys), np.uint64)
+        for j in range(len(self.langs)):
+            self.lang_bits |= (self.key_lang_mask[:, j].astype(np.uint64)
+                               << np.uint64(j))
         self.bmp = _bmp_tables()
 
     def _py_batch(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
@@ -407,9 +412,39 @@ class LangId:
         over the matched tokens — no per-doc Python.  Docs with an
         astral codepoint or an
         expanding-lowercase word char recompute via `_py_batch` (the exact
-        scalar formula)."""
+        scalar formula).
+
+        When a compiler is present, the decode/tokenize/pack/lookup
+        passes run FUSED in one C scan (`langid_kernel.c`) — same
+        classification tables, identical outputs
+        (test_langid_native_parity); the numpy passes below are the
+        fallback."""
         col = batch.column("text")
         flat, bstarts, bends = _utf8_bytes_view(col, self.PREFIX)
+        from nem_mms_ray.ops import _langid_native
+
+        native = _langid_native.langid_batch(
+            flat, bstarts, bends, self.bmp["word"], self.bmp["safe"],
+            self.bmp["lower"], self.all_keys, self.lang_bits,
+            self.max_word_len, len(self.langs))
+        if native is not None:
+            counts, hits, doc_unsafe = native
+            best_li = hits.argmax(axis=1)
+            best = hits[np.arange(len(counts)), best_li]
+            langs = np.asarray(self.langs, dtype=object)
+            preds = np.where(best > 0, langs[best_li], "und")
+            safe_n = np.maximum(counts, 1)
+            scores = np.round(np.where(best > 0, best / safe_n, 0.0), 6)
+            if doc_unsafe.any():
+                fb = np.nonzero(doc_unsafe)[0]
+                p2, s2 = self._py_batch(col.take(pa.array(fb)).to_pylist())
+                preds[fb] = p2
+                scores[fb] = s2
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(preds.tolist(), type=pa.string()),
+                "lang_score": pa.array(scores, type=pa.float64()),
+            })
         cp, dstarts, dends = _utf8_codepoints(flat, bstarts, bends)
         n_docs = len(dstarts)
         bmp = self.bmp

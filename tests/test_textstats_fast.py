@@ -228,3 +228,33 @@ def test_utf8_codepoints_decode_paths():
     flat, s, e = _utf8_bytes_view(pa.array(ascii_docs), None)
     cp, cs, ce = _utf8_codepoints(flat, s, e)
     assert len(cp) == len(flat) and (cp == flat).all()
+
+
+def test_langid_native_parity(monkeypatch):
+    """Fused C langid scan == numpy fast path, row-for-row, on fuzzed
+    unicode including astral codepoints, expanding-lowercase chars
+    (İ, ß), apostrophe runs, overlong tokens, and null/empty docs."""
+    import pyarrow as pa
+
+    from nem_mms_ray.ops import _langid_native
+    from nem_mms_ray.ops.curate import LangId
+
+    if _langid_native.get_lib() is None:
+        import pytest
+        pytest.skip("no C compiler in this environment")
+
+    rng = np.random.default_rng(7)
+    alphabet = list("the and der die le la el en of in abcdef ' é ü 中 "
+                    "\U0001F600 ß İ .,!")
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, 250)))
+             for _ in range(400)]
+    texts += [None, "", "the the the", "' '' '", "x" * 3000,
+              "İstanbul the", "\U0001F600 the and", "het een en de"]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    li = LangId()
+    with_c = li(b)
+    with monkeypatch.context() as mp:
+        mp.setattr(_langid_native, "langid_batch", lambda *a, **k: None)
+        no_c = li(b)
+    assert with_c.equals(no_c)
