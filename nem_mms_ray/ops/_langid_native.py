@@ -111,3 +111,52 @@ def langid_batch(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         unsafe.ctypes.data_as(_u8p))
     return (n_tokens[:n_docs], hits[:n_docs * n_langs].reshape(
         n_docs, n_langs), unsafe[:n_docs].astype(bool))
+
+
+def _bind_token_stats(lib) -> bool:
+    if getattr(lib, "_ts_bound", False):
+        return True
+    try:
+        lib.token_stats_batch_scan.restype = None
+        lib.token_stats_batch_scan.argtypes = [
+            _u8p, _i64p, _i64p, ctypes.c_long,
+            _u8p, _u32p, ctypes.c_long,
+            _i64p, _i64p, _i64p, _u8p]
+        lib._ts_bound = True
+        return True
+    except AttributeError:
+        return False
+
+
+def token_stats_scan(flat: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray, ws_ascii: np.ndarray,
+                     mb_ws_cps: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray] | None:
+    """(n_tokens, n_chars, n_punct, mb_ws_doc_mask) over utf8 byte
+    ranges — ONE fused scan replacing token_stats_batch's 6-7 numpy
+    buffer passes; None when the kernel is unavailable.  Semantics are
+    the numpy path's byte rule exactly (the ws table and multibyte-\\s
+    codepoint set are passed in from ops/textstats)."""
+    lib = get_lib()
+    if lib is None or not _bind_token_stats(lib):
+        return None
+    n_docs = len(starts)
+    flat = np.ascontiguousarray(flat, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    ws_ascii = np.ascontiguousarray(ws_ascii, np.uint8)
+    mb_ws_cps = np.ascontiguousarray(mb_ws_cps, np.uint32)
+    n_tokens = np.empty(max(n_docs, 1), np.int64)
+    n_chars = np.empty(max(n_docs, 1), np.int64)
+    n_punct = np.empty(max(n_docs, 1), np.int64)
+    mb = np.empty(max(n_docs, 1), np.uint8)
+    lib.token_stats_batch_scan(
+        flat.ctypes.data_as(_u8p), starts.ctypes.data_as(_i64p),
+        ends.ctypes.data_as(_i64p), ctypes.c_long(n_docs),
+        ws_ascii.ctypes.data_as(_u8p),
+        mb_ws_cps.ctypes.data_as(_u32p), ctypes.c_long(len(mb_ws_cps)),
+        n_tokens.ctypes.data_as(_i64p), n_chars.ctypes.data_as(_i64p),
+        n_punct.ctypes.data_as(_i64p), mb.ctypes.data_as(_u8p))
+    return (n_tokens[:n_docs], n_chars[:n_docs], n_punct[:n_docs],
+            mb[:n_docs].astype(bool))

@@ -118,3 +118,67 @@ void langid_batch(const uint8_t *flat, const int64_t *starts,
         unsafe[d] = (uint8_t)bad;
     }
 }
+
+/* Fused token-stats scan (ops/textstats.token_stats_batch fast path):
+ * one utf8 decode pass per doc computing
+ *   n_tokens = non-empty pieces split on ASCII-whitespace runs (the
+ *              byte rule: multibyte codepoints are never split points)
+ *   n_chars  = codepoint count
+ *   n_punct  = count of . , ! ? ; : codepoints
+ *   mb_ws    = doc contains a multibyte \s codepoint (the exact
+ *              divergence set — Python recomputes those docs through
+ *              the scalar formulas, as the numpy path does)
+ * ws_ascii: uint8[128] table of the ASCII \s set; mb_ws_cps: sorted
+ * uint32 codepoints of every multibyte \s char. */
+void token_stats_batch_scan(const uint8_t *flat, const int64_t *starts,
+                            const int64_t *ends, long n_docs,
+                            const uint8_t *ws_ascii,
+                            const uint32_t *mb_ws_cps, long n_mb_ws,
+                            int64_t *n_tokens, int64_t *n_chars,
+                            int64_t *n_punct, uint8_t *mb_ws) {
+    for (long d = 0; d < n_docs; d++) {
+        const uint8_t *p = flat + starts[d];
+        const uint8_t *end = flat + ends[d];
+        long ntok = 0, nch = 0, npc = 0;
+        int in_tok = 0, has_mb = 0;
+        while (p < end) {
+            uint32_t cp;
+            uint8_t b0 = *p;
+            if (b0 < 0x80) { cp = b0; p += 1; }
+            else if (b0 < 0xE0) {
+                cp = ((uint32_t)(b0 & 0x1F) << 6) | (p[1] & 0x3F);
+                p += 2;
+            } else if (b0 < 0xF0) {
+                cp = ((uint32_t)(b0 & 0x0F) << 12)
+                     | ((uint32_t)(p[1] & 0x3F) << 6) | (p[2] & 0x3F);
+                p += 3;
+            } else {
+                cp = ((uint32_t)(b0 & 0x07) << 18)
+                     | ((uint32_t)(p[1] & 0x3F) << 12)
+                     | ((uint32_t)(p[2] & 0x3F) << 6) | (p[3] & 0x3F);
+                p += 4;
+            }
+            nch++;
+            int is_ws = (cp < 128) && ws_ascii[cp];
+            if (is_ws) {
+                in_tok = 0;
+            } else {
+                if (!in_tok) { in_tok = 1; ntok++; }
+                if (cp == '.' || cp == ',' || cp == '!' || cp == '?'
+                    || cp == ';' || cp == ':') npc++;
+                if (cp >= 0x80 && !has_mb) {
+                    long lo = 0, hi = n_mb_ws;
+                    while (lo < hi) {
+                        long mid = lo + ((hi - lo) >> 1);
+                        if (mb_ws_cps[mid] < cp) lo = mid + 1; else hi = mid;
+                    }
+                    if (lo < n_mb_ws && mb_ws_cps[lo] == cp) has_mb = 1;
+                }
+            }
+        }
+        n_tokens[d] = ntok;
+        n_chars[d] = nch;
+        n_punct[d] = npc;
+        mb_ws[d] = (uint8_t)has_mb;
+    }
+}

@@ -56,6 +56,9 @@ for _c in b".,!?;:":
 # only case where byte-level whitespace runs diverge from codepoint runs
 _MB_WS_SEQS = [chr(c).encode() for c in range(0x80, 0x10000)
                if re.match(r"\s", chr(c))]
+# the same set as codepoints (ascending by construction) — input form of
+# the fused C scan (langid_kernel.c:token_stats_batch_scan)
+_MB_WS_CPS = np.array([ord(s.decode()) for s in _MB_WS_SEQS], np.uint32)
 
 _BMP: dict = {}
 
@@ -268,6 +271,27 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     # normalize is a no-op pass-through on the result
     flat, dstarts, dends = _utf8_bytes_view(col)
     n_docs = len(dstarts)
+    from nem_mms_ray.ops import _langid_native
+
+    native = _langid_native.token_stats_scan(
+        flat, dstarts, dends, _ASCII_WS[:128], _MB_WS_CPS)
+    if native is not None:
+        # fused C scan (one pass; test_token_stats_native_parity) — the
+        # numpy passes below are the no-compiler fallback
+        n_tokens, n_chars, n_punct, mb_mask = native
+        mb_ws = np.nonzero(mb_mask)[0]
+        if len(mb_ws):
+            t2, c2, p2 = _token_stats_py(col.take(pa.array(mb_ws)).to_pylist())
+            n_tokens[mb_ws] = t2
+            n_chars[mb_ws] = c2
+            n_punct[mb_ws] = p2
+        punct_ratio = np.round(n_punct / np.maximum(n_chars, 1), 6)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "n_chars_obs": pa.array(n_chars.astype(np.int64)),
+            "punct_ratio": pa.array(punct_ratio.astype(np.float64)),
+        })
     tok_starts = _run_starts(~_ASCII_WS[flat], dstarts)
     n_tokens = np.bincount(_doc_of(tok_starts, dends), minlength=n_docs)
     # codepoint count via Arrow's C kernel (np.cumsum / np.add.reduceat

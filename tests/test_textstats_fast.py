@@ -258,3 +258,31 @@ def test_langid_native_parity(monkeypatch):
         mp.setattr(_langid_native, "langid_batch", lambda *a, **k: None)
         no_c = li(b)
     assert with_c.equals(no_c)
+
+
+def test_token_stats_native_parity(monkeypatch):
+    """Fused C token-stats scan == numpy byte-LUT path, row-for-row, on
+    fuzzed unicode including multibyte whitespace (U+3000, NBSP-family),
+    punct runs, and null/empty docs."""
+    import pyarrow as pa
+
+    from nem_mms_ray.ops import _langid_native
+    from nem_mms_ray.ops.textstats import token_stats_batch
+
+    if _langid_native.get_lib() is None:
+        import pytest
+        pytest.skip("no C compiler in this environment")
+
+    rng = np.random.default_rng(3)
+    alphabet = list("ab cd. e,f! 中 é  　   \t\n ? ; : \U0001F600")
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, 150)))
+             for _ in range(400)]
+    texts += [None, "", " ", "...", "  ", "a b", "x" * 500, "　a　"]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    with_c = token_stats_batch(b)
+    with monkeypatch.context() as mp:
+        mp.setattr(_langid_native, "token_stats_scan",
+                   lambda *a, **k: None)
+        no_c = token_stats_batch(b)
+    assert with_c.equals(no_c)
